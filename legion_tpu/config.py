@@ -1,0 +1,173 @@
+"""Single-source-of-truth configuration.
+
+The reference splits configuration across argparse, a space-separated
+``meta_config`` file, binary argv, and compile-time constants (several of
+which silently disagree — e.g. the Python ``--nbrs_num`` flag is ignored by
+the C++ server which hardcodes fanout [25,10] at ``src/Server.cu:68-69``).
+Here there is exactly one dataclass tree; everything derives from it.
+
+Reference config surface being replaced:
+* ``legion_server.py:74-84``  (argparse + dataset registry)
+* ``src/GPUGraphStore.cu:190-252`` (ReadMetaFIle)
+* compile-time constants ``PIPELINE_DEPTH`` (src/Server.cu:15),
+  ``MAX_DEVICE`` (src/CUDA_IPC_Service.cu:16), valid/test batch 512
+  (src/CUDA_IPC_Service.cu:98,111), cost-model granularity
+  ``MIN_INTERVAL 0.01`` / payload ``CLS 64`` (src/GPUCache.cu:30-31).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetConfig:
+    """Where the graph lives and its shape.
+
+    Mirrors the per-dataset entries of the reference registry
+    (``legion_server.py:6-53``): path, node/edge counts, feature length,
+    class count and the train/valid/test set sizes.
+    """
+
+    name: str = "synthetic"
+    path: Optional[str] = None          # directory with packed binary files
+    num_nodes: int = 0
+    num_edges: int = 0
+    feature_dim: int = 0
+    num_classes: int = 0
+    # Where features live: "hbm" (whole table on each chip),
+    # "hbm_sharded" (row-sharded across the mesh), "host" (host RAM,
+    # gathered by the C++ runtime / cache subsystem).
+    feature_placement: str = "hbm"
+    # Where topology lives: "hbm" or "host" (host CSR + HBM hot sub-CSR).
+    topology_placement: str = "hbm"
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    """Neighbor-sampling shape. fanouts[0] is sampled from the seed batch
+    (used by the model's LAST layer), fanouts[k] from the hop-k frontier —
+    the reference's op order (``src/Server.cu:198-207`` with fanout
+    [25,10], hop1=25 from seeds)."""
+
+    fanouts: Sequence[int] = (25, 10)
+    batch_size: int = 1024
+    eval_batch_size: int = 512          # src/CUDA_IPC_Service.cu:98,111
+    # Padding-cap slack multiplier over observed frontier sizes; the
+    # reference sizes feature buffers at 1.2 x observed MaxIdNum
+    # (src/Server.cu:273-282). None => use the loose combinatorial bound.
+    observed_cap_slack: float = 1.2
+    drop_last: bool = True              # train_step = (min-1)/batch, src/CUDA_IPC_Service.cu:88
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Matches the reference model hyperparameters
+    (``pytorch_extension/legion_graphsage.py:195-203``)."""
+
+    arch: str = "sage"                  # sage | gcn | lp_sage
+    hidden_dim: int = 256
+    num_layers: int = 2
+    dropout: float = 0.5
+    # Compute dtype for dense layers; params stay float32.
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 0.003
+    epochs: int = 10
+    seed: int = 0
+    # Depth of the sample->train prefetch pipeline (reference
+    # PIPELINE_DEPTH 2, src/Server.cu:15).
+    pipeline_depth: int = 2
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every_steps: int = 0     # 0 = only at epoch end when dir set
+    log_every_steps: int = 50
+
+
+@dataclasses.dataclass(frozen=True)
+class CacheConfig:
+    """Hotness-aware hierarchical cache (reference ``src/GPUCache.cu``).
+
+    ``budget_bytes`` is the per-chip HBM budget split between the feature
+    cache and the topology cache by the cost model
+    (``src/GPUCache.cu:661-767``). ``group_size`` is the number of chips
+    that jointly hold one cache copy (the NVLink-clique ``Kg`` analog,
+    here an ICI domain)."""
+
+    enabled: bool = False
+    budget_bytes: int = 4 << 30
+    group_size: int = 1                 # Kg analog; 1 = replicated cache
+    cost_model_granularity: float = 0.01  # MIN_INTERVAL, src/GPUCache.cu:30
+    payload_bytes: int = 64             # CLS, src/GPUCache.cu:31
+    presample_steps: int = 0            # 0 = one full epoch
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh layout. ``data`` x ``cache_group`` axes; reference
+    analog: per-GPU DP runners x NVLink cliques (Kc x Kg,
+    ``src/GPUCache.cu:590-612``)."""
+
+    num_devices: int = 0                # 0 = all local devices
+    data_axis: str = "data"
+    donate_state: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    dataset: DatasetConfig = dataclasses.field(default_factory=DatasetConfig)
+    sampler: SamplerConfig = dataclasses.field(default_factory=SamplerConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    cache: CacheConfig = dataclasses.field(default_factory=CacheConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        d = json.loads(s)
+        return Config(
+            dataset=DatasetConfig(**d.get("dataset", {})),
+            sampler=SamplerConfig(**{**d.get("sampler", {}),
+                                     **({"fanouts": tuple(d["sampler"]["fanouts"])}
+                                        if "sampler" in d and "fanouts" in d["sampler"] else {})}),
+            model=ModelConfig(**d.get("model", {})),
+            train=TrainConfig(**d.get("train", {})),
+            cache=CacheConfig(**d.get("cache", {})),
+            parallel=ParallelConfig(**d.get("parallel", {})),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Known-dataset registry, mirroring legion_server.py:6-53 (codes PR/PA/CO/
+# UKS/UKL/CL). Paths are left None: datasets are materialized locally by
+# legion_tpu.data.ogb or synthesized by legion_tpu.data.synthetic.
+# ---------------------------------------------------------------------------
+
+DATASET_REGISTRY = {
+    "PR": DatasetConfig(name="ogbn-products", num_nodes=2_449_029,
+                        num_edges=123_718_280, feature_dim=100, num_classes=47),
+    "PA": DatasetConfig(name="ogbn-papers100M", num_nodes=111_059_956,
+                        num_edges=1_615_685_872, feature_dim=128, num_classes=172,
+                        feature_placement="host", topology_placement="hbm"),
+    "CO": DatasetConfig(name="com-friendster", num_nodes=65_608_366,
+                        num_edges=1_806_067_135, feature_dim=256, num_classes=100,
+                        feature_placement="host", topology_placement="hbm"),
+    "UKS": DatasetConfig(name="uk-union", num_nodes=133_633_040,
+                         num_edges=5_507_679_822, feature_dim=256, num_classes=100,
+                         feature_placement="host", topology_placement="host"),
+    "UKL": DatasetConfig(name="uk2014", num_nodes=787_801_471,
+                         num_edges=47_284_178_505, feature_dim=128, num_classes=100,
+                         feature_placement="host", topology_placement="host"),
+    "CL": DatasetConfig(name="clueweb", num_nodes=955_207_488,
+                        num_edges=42_574_107_469, feature_dim=128, num_classes=100,
+                        feature_placement="host", topology_placement="host"),
+    "AX": DatasetConfig(name="ogbn-arxiv", num_nodes=169_343,
+                        num_edges=1_166_243, feature_dim=128, num_classes=40),
+}

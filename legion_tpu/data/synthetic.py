@@ -1,0 +1,81 @@
+"""Synthetic graph generators for tests and benchmarks.
+
+The reference validates only on downloaded OGB/WebGraph datasets; this
+module provides in-memory generators with controllable scale and skew so
+the test pyramid (SURVEY.md §4) and benchmarks run hermetically (no
+network). Hotness skew is controllable because the cache subsystem's
+whole point is exploiting power-law access distributions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from legion_tpu.data.format import GraphData, from_coo
+
+
+def random_power_law_graph(
+    num_nodes: int = 10_000,
+    avg_degree: int = 15,
+    feature_dim: int = 32,
+    num_classes: int = 10,
+    alpha: float = 0.8,
+    seed: int = 0,
+    train_frac: float = 0.6,
+    valid_frac: float = 0.2,
+) -> GraphData:
+    """Directed graph whose in-neighbor targets follow a Zipf-like skew.
+
+    Edge (src, dst): src features aggregate into dst. Neighbor sources are
+    drawn with probability proportional to ``rank^-alpha`` so a small hot
+    set dominates — the regime Legion's hotness cache targets.
+
+    Labels are generated from a planted linear model over features plus
+    neighborhood mixing, so a GNN genuinely beats chance and training
+    curves are meaningful in tests.
+    """
+    rng = np.random.default_rng(seed)
+    num_edges = num_nodes * avg_degree
+
+    # Skewed popularity over source nodes (hot ids are random, not 0..k,
+    # so tests catch accidental id/rank confusion).
+    ranks = np.arange(1, num_nodes + 1, dtype=np.float64)
+    probs = ranks ** (-alpha)
+    probs /= probs.sum()
+    perm = rng.permutation(num_nodes)
+    src = perm[rng.choice(num_nodes, size=num_edges, p=probs)]
+    dst = rng.integers(0, num_nodes, size=num_edges)
+
+    feats = rng.standard_normal((num_nodes, feature_dim), dtype=np.float32)
+
+    # Planted labels: project node + 1-hop-mean features through a random
+    # linear map; argmax defines the class.
+    w = rng.standard_normal((feature_dim, num_classes)).astype(np.float32)
+    agg = np.zeros_like(feats)
+    np.add.at(agg, dst, feats[src])
+    deg = np.bincount(dst, minlength=num_nodes).astype(np.float32)[:, None]
+    agg = agg / np.maximum(deg, 1.0)
+    logits = (feats + agg) @ w + 0.5 * rng.standard_normal((num_nodes, num_classes)).astype(np.float32)
+    labels = logits.argmax(axis=1).astype(np.int32)
+
+    ids = rng.permutation(num_nodes).astype(np.int32)
+    n_train = int(num_nodes * train_frac)
+    n_valid = int(num_nodes * valid_frac)
+    return from_coo(
+        src=src.astype(np.int32), dst=dst.astype(np.int32),
+        num_nodes=num_nodes, features=feats, labels=labels,
+        train_ids=ids[:n_train],
+        valid_ids=ids[n_train:n_train + n_valid],
+        test_ids=ids[n_train + n_valid:],
+    )
+
+
+def chain_graph(num_nodes: int = 8, feature_dim: int = 4) -> GraphData:
+    """Tiny deterministic chain 0<-1<-2<-...: node v's only in-neighbor is
+    v+1. Features are one-hots; used for hand-checkable sampler tests."""
+    src = np.arange(1, num_nodes, dtype=np.int32)
+    dst = np.arange(0, num_nodes - 1, dtype=np.int32)
+    feats = np.eye(num_nodes, feature_dim, dtype=np.float32)
+    labels = (np.arange(num_nodes) % 2).astype(np.int32)
+    ids = np.arange(num_nodes, dtype=np.int32)
+    return from_coo(src, dst, num_nodes, feats, labels, ids, ids[:0], ids[:0])

@@ -1,0 +1,57 @@
+"""GCN over sampled blocks.
+
+Mirrors the reference client — a DGL ``GraphConv`` stack with
+``allow_zero_in_degree=True`` (``pytorch_extension/legion_gcn.py:68-96``):
+symmetric 'both' normalization computed on the block,
+``h' = D_dst^{-1/2} A (D_src^{-1/2} h) W + b``, with activation inside
+every layer but the last, and dropout before every layer but the first.
+Zero-in-degree dst rows produce 0 (no NaN), matching allow_zero_in_degree.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from legion_tpu.ops.segment import block_dst_degree, block_src_out_degree, fanout_gather_sum
+from legion_tpu.sampling.block import Block
+
+
+class GraphConvLayer(nn.Module):
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, block: Block, h_src: jnp.ndarray) -> jnp.ndarray:
+        src_deg = block_src_out_degree(block, h_src.shape[0]).astype(self.dtype)
+        dst_deg = block_dst_degree(block).astype(self.dtype)
+        h = h_src * (1.0 / jnp.sqrt(jnp.maximum(src_deg, 1.0)))[:, None]
+        agg = fanout_gather_sum(h, block)
+        agg = agg * (1.0 / jnp.sqrt(jnp.maximum(dst_deg, 1.0)))[:, None]
+        # Zero-degree rows: both guards above give factor 1 on a zero sum,
+        # so the result is exactly 0 (DGL allow_zero_in_degree behavior).
+        return nn.Dense(self.out_dim, use_bias=True, dtype=self.dtype)(agg)
+
+
+class GCN(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    num_layers: int = 2
+    dropout: float = 0.5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, blocks: Sequence[Block], x: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        assert len(blocks) == self.num_layers
+        h = x.astype(self.dtype)
+        for i, block in enumerate(blocks):
+            if i != 0:
+                h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            dim = self.out_dim if i == self.num_layers - 1 else self.hidden_dim
+            h = GraphConvLayer(dim, dtype=self.dtype, name=f"layer_{i}")(block, h)
+            if i != self.num_layers - 1:
+                h = nn.relu(h)
+        return h

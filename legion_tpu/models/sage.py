@@ -1,0 +1,58 @@
+"""GraphSAGE (mean aggregator) over sampled blocks.
+
+Numerics mirror the reference client model — a DGL ``SAGEConv('mean')``
+stack (``pytorch_extension/legion_graphsage.py:37-64``): per layer
+``h' = W_self h_dst + W_neigh mean_{u in sampled N(dst)} h_u + b`` with
+bias on the self path only (DGL convention), ReLU + dropout between
+layers, none after the last.
+
+Blocks arrive in model order (outermost hop first); the dst nodes of each
+block are the first ``dst_cap`` rows of the src activations (prefix
+invariant, see sampling.block).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from legion_tpu.ops.segment import fanout_gather_mean
+from legion_tpu.sampling.block import Block
+
+
+class SAGEConv(nn.Module):
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, block: Block, h_src: jnp.ndarray) -> jnp.ndarray:
+        h_dst = h_src[: block.dst_cap]
+        h_neigh = fanout_gather_mean(h_src, block)
+        out = (nn.Dense(self.out_dim, use_bias=True, dtype=self.dtype,
+                        name="fc_self")(h_dst)
+               + nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
+                          name="fc_neigh")(h_neigh))
+        return out
+
+
+class SAGE(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    num_layers: int = 2
+    dropout: float = 0.5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, blocks: Sequence[Block], x: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        assert len(blocks) == self.num_layers
+        h = x.astype(self.dtype)
+        for i, block in enumerate(blocks):
+            dim = self.out_dim if i == self.num_layers - 1 else self.hidden_dim
+            h = SAGEConv(dim, dtype=self.dtype, name=f"layer_{i}")(block, h)
+            if i != self.num_layers - 1:
+                h = nn.relu(h)
+                h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return h

@@ -1,0 +1,47 @@
+"""Neighborhood aggregation primitives (XLA reference implementations).
+
+The block's dense ``(dst_cap, fanout)`` layout turns SpMM into a row
+gather + regular masked reduction — no scatters, no atomics (contrast the
+reference's atomic-compaction kernels, ``src/Kernels.cu:412-424``, and the
+DGL SpMM the client runs). XLA lowers the gather to an HBM row gather and
+fuses the mask/reduce; legion_tpu.ops.spmm_pallas provides a fused Pallas
+kernel for the same contract.
+
+All functions are shape-polymorphic in dst_cap/fanout/dim but fully
+static under jit.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from legion_tpu.sampling.block import Block
+
+
+def fanout_gather_sum(h_src: jnp.ndarray, block: Block) -> jnp.ndarray:
+    """(S, D), Block -> (dst_cap, D): sum of sampled-neighbor features."""
+    rows = jnp.take(h_src, block.nbr_pos, axis=0)          # (P, f, D)
+    m = block.nbr_mask[..., None].astype(h_src.dtype)
+    return jnp.sum(rows * m, axis=1)
+
+
+def fanout_gather_mean(h_src: jnp.ndarray, block: Block) -> jnp.ndarray:
+    """Mean aggregation; zero-in-degree dst rows yield 0 (the reference
+    model relies on DGL's same convention via allow_zero_in_degree)."""
+    s = fanout_gather_sum(h_src, block)
+    cnt = jnp.sum(block.nbr_mask, axis=1, keepdims=True).astype(h_src.dtype)
+    return s / jnp.maximum(cnt, 1.0)
+
+
+def block_dst_degree(block: Block) -> jnp.ndarray:
+    """(dst_cap,) in-degree of each dst within the block."""
+    return jnp.sum(block.nbr_mask, axis=1).astype(jnp.int32)
+
+
+def block_src_out_degree(block: Block, src_cap: int) -> jnp.ndarray:
+    """(src_cap,) out-degree of each src within the block (needed by the
+    GCN 'both' norm). One scatter-add of ones — small (int per node)."""
+    ones = block.nbr_mask.astype(jnp.int32).reshape(-1)
+    pos = jnp.where(block.nbr_mask, block.nbr_pos, src_cap).reshape(-1)
+    deg = jnp.zeros((src_cap,), jnp.int32)
+    return deg.at[pos].add(ones, mode="drop")

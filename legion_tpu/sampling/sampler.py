@@ -1,0 +1,168 @@
+"""TPU-native neighbor sampling: jitted, static shapes, no atomics.
+
+Replaces the reference's CUDA sampling pipeline (``src/Kernels.cu``):
+
+* ``kernel_random_sampler_2`` (``src/Kernels.cu:342-448``): per (seed,
+  slot), uniform neighbor draw **with replacement**; slots beyond the
+  node's degree yield ``-1``. Reproduced exactly (vectorized uniform draw
+  scaled by degree), with JAX PRNG replacing ``thrust::minstd_rand``
+  seeded by thread index.
+* atomic-bitmap dedup + position map (``src/Kernels.cu:412-438``):
+  replaced by a sort-based ``jnp.unique(..., size=cap)`` with
+  first-occurrence bookkeeping that preserves the cumulative
+  ``[seeds, hop1-new, hop2-new]`` numbering.
+* ``construct_graph`` COO renumbering (``src/Kernels.cu:450-463``):
+  subsumed — positions fall out of the unique's inverse permutation.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from legion_tpu.sampling.block import Block, SampledBatch, frontier_caps
+
+# Padding sentinel that sorts AFTER every real node id, so unique() packs
+# real ids into a dense prefix. Externally padding is -1 (the reference's
+# sentinel, src/Kernels.cu:296); internally we flip to SENTINEL for sorts.
+SENTINEL = jnp.iinfo(jnp.int32).max
+
+
+@struct.dataclass
+class DeviceGraph:
+    """CSR topology resident in device HBM.
+
+    int32 indptr: device CSR addressing is 32-bit, which caps on-device
+    topology at 2^31 edges — graphs beyond that use the host/topology-cache
+    path (reference keeps the full CSR zero-copy in pinned host memory for
+    the same reason, ``src/GPUGraphStore.cu:264-266``).
+    """
+
+    indptr: jnp.ndarray    # (N+1,) int32
+    indices: jnp.ndarray   # (E,) int32
+
+    @property
+    def num_nodes(self) -> int:
+        return self.indptr.shape[0] - 1
+
+    @classmethod
+    def from_host(cls, indptr, indices) -> "DeviceGraph":
+        import numpy as np
+        assert int(indptr[-1]) < 2 ** 31, (
+            "on-device CSR needs < 2^31 edges; use host topology placement")
+        return cls(indptr=jnp.asarray(np.asarray(indptr), dtype=jnp.int32),
+                   indices=jnp.asarray(np.asarray(indices), dtype=jnp.int32))
+
+
+def sample_neighbors(key: jax.Array, graph: DeviceGraph,
+                     frontier: jnp.ndarray, fanout: int) -> jnp.ndarray:
+    """Uniform-with-replacement fanout sampling of one hop.
+
+    frontier: (P,) int32 global ids, -1 padding. Returns (P, fanout) int32
+    neighbor ids with -1 where the slot is invalid (padded source, or slot
+    index >= degree — reference semantics, src/Kernels.cu:399-400).
+    """
+    p = frontier.shape[0]
+    valid = frontier >= 0
+    ids = jnp.where(valid, frontier, 0)
+    start = graph.indptr[ids]                       # (P,)
+    deg = graph.indptr[ids + 1] - start             # (P,)
+
+    u = jax.random.uniform(key, (p, fanout), dtype=jnp.float32)
+    off = jnp.minimum((u * deg[:, None].astype(jnp.float32)).astype(jnp.int32),
+                      jnp.maximum(deg[:, None] - 1, 0))
+    addr = start[:, None] + off
+    nbr = graph.indices[jnp.clip(addr, 0, graph.indices.shape[0] - 1)]
+
+    slot = jax.lax.broadcasted_iota(jnp.int32, (p, fanout), 1)
+    ok = valid[:, None] & (slot < deg[:, None]) & (deg[:, None] > 0)
+    return jnp.where(ok, nbr, -1)
+
+
+def grow_frontier(frontier_prev: jnp.ndarray, num_prev: jnp.ndarray,
+                  neighbors: jnp.ndarray, cap_new: int
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, Block]:
+    """Dedup the sampled hop and extend the frontier, preserving prefix
+    numbering. Pure-functional replacement of the reference's atomic
+    bitmap + position_map (``src/Kernels.cu:412-438``).
+
+    Returns (frontier_new (cap_new,), num_new (), block).
+    """
+    p, fanout = neighbors.shape
+    prev_s = jnp.where(frontier_prev >= 0, frontier_prev, SENTINEL)
+    nbr_s = jnp.where(neighbors >= 0, neighbors, SENTINEL).reshape(-1)
+    cat = jnp.concatenate([prev_s, nbr_s])
+
+    uniq, first_idx, inv = jnp.unique(
+        cat, size=cap_new, fill_value=SENTINEL,
+        return_index=True, return_inverse=True)
+    uniq_valid = uniq != SENTINEL
+
+    # An id is "old" iff its first occurrence lies in the prev section;
+    # prev is dense-prefix so that first occurrence IS its position.
+    old = uniq_valid & (first_idx < frontier_prev.shape[0])
+    new = uniq_valid & jnp.logical_not(old)
+    new_rank = jnp.cumsum(new.astype(jnp.int32)) - 1
+    pos = jnp.where(old, first_idx.astype(jnp.int32), num_prev + new_rank)
+    num_new_total = num_prev + jnp.sum(new.astype(jnp.int32))
+
+    # Scatter unique ids to their positions; invalid entries dropped.
+    scatter_pos = jnp.where(uniq_valid, pos, cap_new)
+    frontier_new = jnp.full((cap_new,), -1, dtype=jnp.int32)
+    frontier_new = frontier_new.at[scatter_pos].set(
+        jnp.where(uniq_valid, uniq, -1), mode="drop")
+
+    nbr_inv = inv[frontier_prev.shape[0]:].reshape(p, fanout)
+    nbr_pos = pos[nbr_inv]
+    nbr_mask = neighbors >= 0
+    block = Block(
+        nbr_pos=jnp.where(nbr_mask, nbr_pos, 0).astype(jnp.int32),
+        nbr_mask=nbr_mask,
+        num_src=num_new_total.astype(jnp.int32),
+        num_dst=num_prev.astype(jnp.int32),
+    )
+    return frontier_new, num_new_total.astype(jnp.int32), block
+
+
+def sample_batch(key: jax.Array, graph: DeviceGraph, seeds: jnp.ndarray,
+                 num_seeds: jnp.ndarray, labels: jnp.ndarray,
+                 fanouts: Sequence[int],
+                 caps: Sequence[int] | None = None) -> SampledBatch:
+    """Full multi-hop sampling of one mini-batch (one jitted call).
+
+    seeds: (seed_cap,) int32 padded with -1; ids must be unique within the
+    batch (the reference guarantees this: batches are contiguous chunks of
+    a node-id set, ``src/Kernels.cu:68-96``).
+
+    Equivalent to the reference per-batch op chain BatchGenerator ->
+    (RandomSampler x hops) -> construct_graph (``src/Server.cu:198-207``),
+    minus feature extraction which is a separate stage (cache subsystem).
+    """
+    if caps is None:
+        caps = frontier_caps(seeds.shape[0], fanouts)
+    assert caps[0] >= seeds.shape[0]
+
+    frontier = jnp.full((caps[0],), -1, jnp.int32).at[: seeds.shape[0]].set(seeds)
+    num = num_seeds.astype(jnp.int32)
+    blocks = []
+    for k, fanout in enumerate(fanouts):
+        key, sub = jax.random.split(key)
+        nbrs = sample_neighbors(sub, graph, frontier, fanout)
+        frontier, num, blk = grow_frontier(frontier, num, nbrs, caps[k + 1])
+        blocks.append(blk)
+
+    return SampledBatch(
+        seeds=seeds, labels=labels, num_seeds=num_seeds.astype(jnp.int32),
+        frontier=frontier, num_frontier=num, blocks=tuple(blocks))
+
+
+def gather_features(features: jnp.ndarray, frontier: jnp.ndarray) -> jnp.ndarray:
+    """Gather feature rows for a (padded) frontier from an HBM-resident
+    table; padded slots read row 0 and are zeroed. The cached/host paths
+    live in legion_tpu.cache.feature_cache."""
+    valid = frontier >= 0
+    rows = features[jnp.where(valid, frontier, 0)]
+    return rows * valid[:, None].astype(features.dtype)

@@ -1,0 +1,268 @@
+"""End-to-end training driver.
+
+Replaces three reference layers at once (SURVEY.md §1):
+
+* the sampling server runtime (``src/Server.cu`` GPUServer/GPURunner):
+  sampling + gather + training fuse into ONE jitted step (or a
+  ``lax.scan`` over a whole epoch) — the 2-deep semaphore pipeline
+  (``PIPELINE_DEPTH 2``) becomes XLA async dispatch, and the op-DAG over
+  two CUDA streams becomes compiler-scheduled fusion;
+* the CUDA-IPC boundary (``src/CUDA_IPC_Service.cu``): gone — one process;
+* the client train loop (``pytorch_extension/legion_graphsage.py:119-184``):
+  the epoch/valid/test schedule, loss and Adam step live here.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from legion_tpu.config import Config
+from legion_tpu.data.format import GraphData
+from legion_tpu.models import build_model
+from legion_tpu.sampling.block import frontier_caps
+from legion_tpu.sampling.sampler import DeviceGraph, gather_features, sample_batch
+from legion_tpu.sampling.seeds import (
+    SeedPlan, epoch_eval_seeds, epoch_train_seeds, make_seed_plan, shard_node_set)
+from legion_tpu.train.train_state import (
+    TrainState, create_train_state, restore_checkpoint, save_checkpoint)
+
+
+# ---------------------------------------------------------------------------
+# Losses (reference: CrossEntropyLoss at legion_graphsage.py:142; LP loss at
+# lp_sage.py:86-91).
+# ---------------------------------------------------------------------------
+
+def masked_softmax_ce(logits: jnp.ndarray, labels: jnp.ndarray,
+                      mask: jnp.ndarray) -> jnp.ndarray:
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    safe = jnp.clip(labels, 0, logits.shape[-1] - 1)
+    nll = -jnp.take_along_axis(logp, safe[:, None], axis=1)[:, 0]
+    m = mask.astype(jnp.float32)
+    return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def lp_logsigmoid_loss(emb: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Link-prediction loss: batch thirds are (anchor, pos, neg);
+    -logsigmoid(a.p) - logsigmoid(-(a.n)), mean (lp_sage.py:86-91)."""
+    third = emb.shape[0] // 3
+    a, p, n = emb[:third], emb[third:2 * third], emb[2 * third:3 * third]
+    m = (mask[:third] & mask[third:2 * third] & mask[2 * third:3 * third]
+         ).astype(jnp.float32)
+    pos = jax.nn.log_sigmoid(jnp.sum(a * p, -1))
+    neg = jax.nn.log_sigmoid(-jnp.sum(a * n, -1))
+    denom = jnp.maximum(jnp.sum(m), 1.0)
+    return -(jnp.sum(pos * m) + jnp.sum(neg * m)) / denom
+
+
+# ---------------------------------------------------------------------------
+# Pure step functions
+# ---------------------------------------------------------------------------
+
+def make_step_fns(cfg: Config, model, caps,
+                  feature_fetch: Optional[Callable] = None):
+    """Build (train_step, eval_step, epoch_scan) pure functions.
+
+    feature_fetch(features_pytree, frontier) -> (frontier_cap, F) rows;
+    defaults to the plain HBM gather. The cache subsystem supplies an
+    alternative closure (see legion_tpu.cache).
+    """
+    fanouts = tuple(cfg.sampler.fanouts)
+    fetch = feature_fetch or (lambda feats, frontier: gather_features(feats, frontier))
+    is_lp = cfg.model.arch == "lp_sage"
+
+    def forward(params, batch, feats, dropout_rng, deterministic):
+        x = fetch(feats, batch.frontier)
+        blocks = tuple(reversed(batch.blocks))
+        rngs = {} if deterministic else {"dropout": dropout_rng}
+        return model.apply({"params": params}, blocks, x,
+                           deterministic=deterministic, rngs=rngs)
+
+    def loss_fn(params, batch, feats, dropout_rng):
+        out = forward(params, batch, feats, dropout_rng, deterministic=False)
+        out = out[: batch.seed_cap]
+        mask = batch.seed_mask()
+        if is_lp:
+            loss = lp_logsigmoid_loss(out, mask)
+        else:
+            loss = masked_softmax_ce(out, batch.labels, mask)
+        return loss
+
+    def train_step(state: TrainState, graph: DeviceGraph, feats,
+                   seeds, num_seeds, labels):
+        key = jax.random.fold_in(state.rng, state.step)
+        skey, dkey = jax.random.split(key)
+        batch = sample_batch(skey, graph, seeds, num_seeds, labels,
+                             fanouts, caps)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, batch, feats, dkey)
+        state = state.apply_gradients(grads)
+        metrics = {
+            "loss": loss,
+            "edges": sum(b.num_edges() for b in batch.blocks),
+            "frontier": batch.num_frontier,
+        }
+        return state, metrics
+
+    def eval_step(params, graph: DeviceGraph, feats, seeds, num_seeds,
+                  labels, key):
+        batch = sample_batch(key, graph, seeds, num_seeds, labels,
+                             fanouts, caps)
+        out = forward(params, batch, feats, None, deterministic=True)
+        out = out[: batch.seed_cap]
+        mask = batch.seed_mask()
+        if is_lp:
+            return lp_logsigmoid_loss(out, mask), jnp.sum(mask)
+        pred = jnp.argmax(out, axis=-1)
+        correct = jnp.sum((pred == batch.labels) & mask)
+        return correct, jnp.sum(mask)
+
+    def epoch_scan(state: TrainState, graph: DeviceGraph, feats,
+                   seeds_epoch, labels_epoch):
+        """Whole training epoch as one lax.scan — zero dispatch overhead,
+        the TPU equivalent of the reference's free-running RunnerLoop
+        (src/Server.cu:36-41)."""
+        nb = jnp.full((), seeds_epoch.shape[1], jnp.int32)
+
+        def body(st, xs):
+            seeds, labels = xs
+            st, m = train_step(st, graph, feats, seeds, nb, labels)
+            return st, (m["loss"], m["edges"])
+
+        state, (losses, edges) = jax.lax.scan(
+            body, state, (seeds_epoch, labels_epoch))
+        return state, losses, jnp.sum(edges)
+
+    return train_step, eval_step, epoch_scan
+
+
+# ---------------------------------------------------------------------------
+# Trainer
+# ---------------------------------------------------------------------------
+
+class Trainer:
+    """Single-host trainer (HBM-resident features path).
+
+    The cached / multi-chip variants are built from the same pure step
+    functions — see legion_tpu.cache.pipeline and legion_tpu.parallel.
+    """
+
+    def __init__(self, cfg: Config, data: GraphData, num_shards: int = 1):
+        self.cfg = cfg
+        self.data = data
+        self.num_shards = num_shards
+
+        self.graph = DeviceGraph.from_host(data.indptr, data.indices)
+        self.features = jnp.asarray(np.asarray(data.features), jnp.float32)
+
+        self.shards_train = shard_node_set(data.train_ids, num_shards)
+        self.shards_valid = shard_node_set(data.valid_ids, num_shards)
+        self.shards_test = shard_node_set(data.test_ids, num_shards)
+        self.plan = make_seed_plan(
+            [len(s) for s in self.shards_train],
+            [max(len(s), 1) for s in self.shards_valid],
+            [max(len(s), 1) for s in self.shards_test],
+            cfg.sampler.batch_size, cfg.sampler.eval_batch_size)
+
+        self.caps = frontier_caps(cfg.sampler.batch_size, cfg.sampler.fanouts)
+        self.eval_caps = frontier_caps(cfg.sampler.eval_batch_size,
+                                       cfg.sampler.fanouts)
+
+        num_classes = cfg.dataset.num_classes or data.num_classes
+        self.model = build_model(cfg.model.arch, cfg.model.hidden_dim,
+                                 num_classes, cfg.model.num_layers,
+                                 cfg.model.dropout)
+        self.state = self._init_state()
+        if cfg.train.checkpoint_dir:
+            restored = restore_checkpoint(cfg.train.checkpoint_dir, self.state)
+            if restored is not None:
+                self.state = restored
+
+        self._train_step, self._eval_step, self._epoch_scan = make_step_fns(
+            cfg, self.model, self.caps)
+        _, self._eval_step_small, _ = make_step_fns(
+            cfg, self.model, self.eval_caps)
+        self.jit_epoch = jax.jit(self._epoch_scan, donate_argnums=(0,))
+        self.jit_train_step = jax.jit(self._train_step, donate_argnums=(0,))
+        self.jit_eval_step = jax.jit(self._eval_step_small)
+        self.history: list[Dict] = []
+
+    def _init_state(self) -> TrainState:
+        cfg = self.cfg
+        key = jax.random.PRNGKey(cfg.train.seed)
+        b = cfg.sampler.batch_size
+        seeds = jnp.arange(b, dtype=jnp.int32) % self.data.num_nodes
+        labels = jnp.zeros((b,), jnp.int32)
+        batch = jax.jit(sample_batch, static_argnums=(5, 6))(
+            key, self.graph, seeds, jnp.full((), b, jnp.int32), labels,
+            tuple(cfg.sampler.fanouts),
+            frontier_caps(b, cfg.sampler.fanouts))
+        x = jax.jit(gather_features)(self.features, batch.frontier)
+        params = self.model.init(key, tuple(reversed(batch.blocks)), x,
+                                 deterministic=True)["params"]
+        return create_train_state(params, cfg.train.learning_rate,
+                                  cfg.train.seed)
+
+    # -- epoch loops --------------------------------------------------------
+
+    def train_one_epoch(self, epoch: int, shard: int = 0) -> Dict:
+        rng = np.random.default_rng(self.cfg.train.seed * 100003 + epoch)
+        seeds, _ = epoch_train_seeds(rng, [self.shards_train[shard]], self.plan)
+        labels = np.asarray(self.data.labels)[seeds[0]]
+        t0 = time.perf_counter()
+        self.state, losses, edges = self.jit_epoch(
+            self.state, self.graph, self.features,
+            jnp.asarray(seeds[0]), jnp.asarray(labels))
+        losses = jax.device_get(losses)
+        dt = time.perf_counter() - t0
+        rec = {"epoch": epoch, "loss": float(losses[-1]),
+               "mean_loss": float(losses.mean()),
+               "epoch_s": dt, "edges_per_s": float(jax.device_get(edges)) / dt}
+        self.history.append(rec)
+        return rec
+
+    def evaluate(self, which: str = "valid", shard: int = 0) -> float:
+        shards = self.shards_valid if which == "valid" else self.shards_test
+        steps = (self.plan.valid_steps if which == "valid"
+                 else self.plan.test_steps)
+        per = (self.plan.valid_batch if which == "valid"
+               else self.plan.test_batch)
+        cap = self.cfg.sampler.eval_batch_size
+        seeds, counts = epoch_eval_seeds([shards[shard]], steps, (per[shard],), cap)
+        labels_all = np.asarray(self.data.labels)
+        correct = total = 0
+        key = jax.random.PRNGKey(12345)
+        for t in range(steps):
+            s = seeds[0, t]
+            lab = np.where(s >= 0, labels_all[np.clip(s, 0, None)], -1)
+            key, sub = jax.random.split(key)
+            c, n = self.jit_eval_step(
+                self.state.params, self.graph, self.features,
+                jnp.asarray(s), jnp.full((), counts[0, t], jnp.int32),
+                jnp.asarray(lab), sub)
+            correct += int(jax.device_get(c))
+            total += int(jax.device_get(n))
+        return correct / max(total, 1)
+
+    def fit(self, epochs: Optional[int] = None,
+            log: Callable[[str], None] = print) -> Dict:
+        epochs = epochs or self.cfg.train.epochs
+        start = int(jax.device_get(self.state.epoch))
+        for epoch in range(start, epochs):
+            rec = self.train_one_epoch(epoch)
+            acc = self.evaluate("valid")
+            self.state = self.state.replace(
+                epoch=jnp.full((), epoch + 1, jnp.int32))
+            log(f"Epoch:{epoch}, Cost:{rec['epoch_s']:.3f} s, "
+                f"Loss:{rec['loss']:.4f}, Val Acc: {acc:.4f}, "
+                f"edges/s: {rec['edges_per_s']:.3e}")
+            if self.cfg.train.checkpoint_dir:
+                save_checkpoint(self.cfg.train.checkpoint_dir, self.state)
+        test_acc = self.evaluate("test")
+        log(f"Accuracy on test data: {test_acc:.4f}")
+        return {"test_acc": test_acc, "history": self.history}

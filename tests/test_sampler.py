@@ -1,0 +1,145 @@
+"""Sampler unit tests: determinism, sentinel semantics, dedup/renumber
+invariants (SURVEY.md §4 planned pyramid)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from legion_tpu.sampling.block import frontier_caps
+from legion_tpu.sampling.sampler import (
+    DeviceGraph, gather_features, grow_frontier, sample_batch, sample_neighbors)
+
+
+def _dev_graph(g):
+    return DeviceGraph.from_host(g.indptr, g.indices)
+
+
+def test_sample_neighbors_semantics(tiny_chain):
+    """Chain 0<-1<-...: node v's only in-neighbor is v+1; degree 1 so
+    slot 0 always samples v+1, slots >=1 are -1 (slot >= degree rule,
+    reference src/Kernels.cu:399-400). Last node has degree 0."""
+    g = _dev_graph(tiny_chain)
+    frontier = jnp.array([0, 3, 7, -1], jnp.int32)
+    out = np.asarray(sample_neighbors(jax.random.PRNGKey(0), g, frontier, 3))
+    assert out[0].tolist() == [1, -1, -1]
+    assert out[1].tolist() == [4, -1, -1]
+    assert out[2].tolist() == [-1, -1, -1]   # node 7: zero degree
+    assert out[3].tolist() == [-1, -1, -1]   # padded source
+
+
+def test_sampler_deterministic(small_graph):
+    g = _dev_graph(small_graph)
+    frontier = jnp.arange(64, dtype=jnp.int32)
+    a = sample_neighbors(jax.random.PRNGKey(7), g, frontier, 5)
+    b = sample_neighbors(jax.random.PRNGKey(7), g, frontier, 5)
+    c = sample_neighbors(jax.random.PRNGKey(8), g, frontier, 5)
+    assert (np.asarray(a) == np.asarray(b)).all()
+    assert (np.asarray(a) != np.asarray(c)).any()
+
+
+def test_sampled_ids_are_neighbors(small_graph):
+    g = _dev_graph(small_graph)
+    ids = np.unique(np.asarray(small_graph.train_ids)[:100]).astype(np.int32)
+    frontier = jnp.asarray(ids)
+    out = np.asarray(sample_neighbors(jax.random.PRNGKey(3), g, frontier, 10))
+    indptr, indices = small_graph.indptr, small_graph.indices
+    for i, v in enumerate(ids):
+        nbrs = set(indices[indptr[v]:indptr[v + 1]].tolist())
+        deg = len(indices[indptr[v]:indptr[v + 1]])
+        for s, x in enumerate(out[i]):
+            if s < min(deg, 10) and deg > 0:
+                assert x in nbrs
+            elif s >= deg:
+                assert x == -1
+
+
+def test_grow_frontier_prefix_and_dedup():
+    """Hand-checkable dedup: frontier [10,20], neighbors contain dups,
+    old ids, and invalid slots."""
+    frontier = jnp.array([10, 20, -1, -1], jnp.int32)
+    nbrs = jnp.array([[30, 10, 30], [20, 40, -1]], jnp.int32)
+    fnew, num, blk = grow_frontier(frontier, jnp.int32(2), nbrs, 12)
+    fnew = np.asarray(fnew)
+    assert int(num) == 4
+    # prefix preserved, new ids appended in sorted order
+    assert fnew[:4].tolist() == [10, 20, 30, 40]
+    assert (fnew[4:] == -1).all()
+    pos = np.asarray(blk.nbr_pos)
+    mask = np.asarray(blk.nbr_mask)
+    assert mask.tolist() == [[True, True, True], [True, True, False]]
+    assert pos[0].tolist() == [2, 0, 2]
+    assert pos[1][:2].tolist() == [1, 3]
+    assert int(blk.num_dst) == 2 and int(blk.num_src) == 4
+
+
+def test_sample_batch_invariants(small_graph):
+    g = _dev_graph(small_graph)
+    b = 64
+    fanouts = (5, 3)
+    seeds_np = np.unique(np.asarray(small_graph.train_ids)[:b]).astype(np.int32)
+    seeds = np.full((b,), -1, np.int32)
+    seeds[:seeds_np.shape[0]] = seeds_np
+    labels = np.where(seeds >= 0,
+                      np.asarray(small_graph.labels)[np.clip(seeds, 0, None)], -1)
+    batch = jax.jit(sample_batch, static_argnums=(5, 6))(
+        jax.random.PRNGKey(0), g, jnp.asarray(seeds),
+        jnp.full((), seeds_np.shape[0], jnp.int32), jnp.asarray(labels),
+        fanouts, frontier_caps(b, fanouts))
+
+    frontier = np.asarray(batch.frontier)
+    nf = int(batch.num_frontier)
+    # dense prefix of unique valid ids; -1 beyond
+    assert (frontier[:nf] >= 0).all() and (frontier[nf:] == -1).all()
+    assert len(set(frontier[:nf].tolist())) == nf
+    # seeds occupy the prefix in original order
+    assert frontier[:seeds_np.shape[0]].tolist() == seeds_np.tolist()
+
+    # every valid edge's src position maps to a real node; dst prefix rule
+    prev_valid = int(batch.num_seeds)
+    for blk in batch.blocks:
+        pos = np.asarray(blk.nbr_pos)
+        mask = np.asarray(blk.nbr_mask)
+        assert int(blk.num_dst) == prev_valid
+        ns = int(blk.num_src)
+        assert (pos[mask] < ns).all() and (pos[mask] >= 0).all()
+        # dst slots with valid edges must be valid dst nodes
+        rows = np.nonzero(mask.any(axis=1))[0]
+        assert (rows < int(blk.num_dst)).all()
+        prev_valid = ns
+    assert prev_valid == nf
+
+
+def test_edges_connect_true_neighbors(small_graph):
+    """End-to-end renumbering check: decode block edges back to global ids
+    and verify each is a real graph edge (construct_graph parity,
+    reference src/Kernels.cu:450-463)."""
+    g = _dev_graph(small_graph)
+    b, fanouts = 32, (4, 4)
+    seeds_np = np.unique(np.asarray(small_graph.train_ids)[:b]).astype(np.int32)
+    seeds = np.full((b,), -1, np.int32)
+    seeds[:seeds_np.shape[0]] = seeds_np
+    batch = sample_batch(jax.random.PRNGKey(5), g, jnp.asarray(seeds),
+                         jnp.full((), seeds_np.shape[0], jnp.int32),
+                         jnp.zeros((b,), jnp.int32), fanouts,
+                         frontier_caps(b, fanouts))
+    indptr, indices = small_graph.indptr, small_graph.indices
+    frontier = np.asarray(batch.frontier)
+    # frontier of previous hop is a prefix of the final frontier
+    for blk in batch.blocks:
+        pos = np.asarray(blk.nbr_pos)
+        mask = np.asarray(blk.nbr_mask)
+        for d in range(pos.shape[0]):
+            dst_gid = frontier[d]
+            for f in range(pos.shape[1]):
+                if mask[d, f]:
+                    src_gid = frontier[pos[d, f]]
+                    nbrs = indices[indptr[dst_gid]:indptr[dst_gid + 1]]
+                    assert src_gid in nbrs
+
+
+def test_gather_features(small_graph):
+    feats = jnp.asarray(np.asarray(small_graph.features))
+    frontier = jnp.array([3, 0, -1, 5], jnp.int32)
+    out = np.asarray(gather_features(feats, frontier))
+    np.testing.assert_allclose(out[0], small_graph.features[3])
+    np.testing.assert_allclose(out[2], 0.0)

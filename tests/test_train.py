@@ -1,0 +1,73 @@
+"""End-to-end training: loss decreases and accuracy beats chance on a
+planted-label synthetic graph (the reference's implicit correctness test
+is downstream accuracy, SURVEY.md §4)."""
+
+import numpy as np
+
+from legion_tpu.config import (Config, DatasetConfig, ModelConfig,
+                               SamplerConfig, TrainConfig)
+from legion_tpu.train.loop import Trainer
+
+
+def _cfg(num_classes, arch="sage", batch=128):
+    return Config(
+        dataset=DatasetConfig(num_classes=num_classes),
+        sampler=SamplerConfig(fanouts=(5, 5), batch_size=batch,
+                              eval_batch_size=128),
+        model=ModelConfig(arch=arch, hidden_dim=32, num_layers=2, dropout=0.2),
+        train=TrainConfig(learning_rate=0.01, epochs=3, seed=0),
+    )
+
+
+def test_sage_learns(small_graph):
+    tr = Trainer(_cfg(small_graph.num_classes), small_graph)
+    first = tr.train_one_epoch(0)
+    for e in range(1, 3):
+        rec = tr.train_one_epoch(e)
+    assert rec["mean_loss"] < first["mean_loss"]
+    acc = tr.evaluate("valid")
+    assert acc > 2.0 / small_graph.num_classes, f"acc {acc} is chance-level"
+
+
+def test_gcn_trains(small_graph):
+    tr = Trainer(_cfg(small_graph.num_classes, arch="gcn"), small_graph)
+    first = tr.train_one_epoch(0)
+    rec = tr.train_one_epoch(1)
+    assert np.isfinite(rec["mean_loss"])
+    assert rec["mean_loss"] < first["mean_loss"] * 1.2
+
+
+def test_lp_sage_trains(small_graph):
+    cfg = Config(
+        dataset=DatasetConfig(num_classes=small_graph.num_classes),
+        sampler=SamplerConfig(fanouts=(5, 5), batch_size=129,
+                              eval_batch_size=129),
+        model=ModelConfig(arch="lp_sage", hidden_dim=32, num_layers=2,
+                          dropout=0.0),
+        train=TrainConfig(learning_rate=0.01, epochs=2, seed=0),
+    )
+    tr = Trainer(cfg, small_graph)
+    first = tr.train_one_epoch(0)
+    rec = tr.train_one_epoch(1)
+    assert np.isfinite(rec["mean_loss"])
+    assert rec["mean_loss"] < first["mean_loss"]
+
+
+def test_checkpoint_roundtrip(small_graph, tmp_path):
+    import jax
+    import jax.numpy as jnp
+    cfg = _cfg(small_graph.num_classes)
+    cfg = Config(dataset=cfg.dataset, sampler=cfg.sampler, model=cfg.model,
+                 train=TrainConfig(learning_rate=0.01, epochs=1, seed=0,
+                                   checkpoint_dir=str(tmp_path / "ckpt")))
+    tr = Trainer(cfg, small_graph)
+    tr.train_one_epoch(0)
+    from legion_tpu.train.train_state import restore_checkpoint, save_checkpoint
+    save_checkpoint(cfg.train.checkpoint_dir, tr.state)
+
+    tr2 = Trainer(cfg, small_graph)  # restores in __init__
+    assert int(tr2.state.step) == int(tr.state.step)
+    a = jax.tree_util.tree_leaves(tr.state.params)
+    b = jax.tree_util.tree_leaves(tr2.state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
