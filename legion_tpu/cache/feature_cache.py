@@ -1,0 +1,108 @@
+"""Hotness-ordered feature cache: hot rows in HBM, misses staged from
+host RAM.
+
+Replaces the reference's BGHT-cuckoo-hash feature cache
+(``PreSCCacheController::FindFeat`` + ``zero_copy_with_aggregated_cache``,
+``src/GPUCache.cu:387-432``, ``src/Kernels.cu:662-702``): the cache is
+static after the presampling phase, so a *sorted* hot-id array +
+``searchsorted`` is a perfect hash on TPU — no buckets, no atomics, and
+the lookup vectorizes onto the VPU. Misses read pinned-host feature rows;
+here they are compacted on device, gathered on host (numpy/C++ runtime)
+and staged back — the zero-copy-over-PCIe analog, made explicit and
+therefore exactly accountable (bytes moved = num_miss x row bytes).
+
+Hit/miss statistics are returned as scalars every step (the reference
+prints them every 500th iteration, ``src/GPUCache.cu:414-425``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class CachePlan(NamedTuple):
+    slot: jnp.ndarray        # (M,) int32 cache slot (valid where hit)
+    hit: jnp.ndarray         # (M,) bool
+    miss_idx: jnp.ndarray    # (M,) int32 index into staged rows (valid where miss)
+    miss_ids: jnp.ndarray    # (miss_cap,) int32 global ids to stage, -1 pad
+    num_miss: jnp.ndarray    # () int32
+    num_hit: jnp.ndarray     # () int32
+    num_valid: jnp.ndarray   # () int32
+
+
+class FeatureCache:
+    """Host features + HBM hot-row cache.
+
+    hot_ids must be sorted ascending (build() handles it). rows[i] =
+    features[hot_ids[i]].
+    """
+
+    def __init__(self, hot_ids: jnp.ndarray, rows: jnp.ndarray,
+                 host_features: np.ndarray, miss_cap: int):
+        self.hot_ids = hot_ids
+        self.rows = rows
+        self.host_features = host_features
+        self.miss_cap = int(miss_cap)
+
+    @classmethod
+    def build(cls, host_features: np.ndarray, hot_order: np.ndarray,
+              capacity: int, miss_cap: int) -> "FeatureCache":
+        """hot_order: hotness-descending candidate ids (cost-model
+        feat_order); the top `capacity` are cached (FillUp analog,
+        src/GPUCache.cu:769-826)."""
+        capacity = int(min(capacity, len(hot_order)))
+        hot = np.sort(np.asarray(hot_order[:capacity], np.int32))
+        rows = np.ascontiguousarray(host_features[hot], np.float32)
+        return cls(jnp.asarray(hot), jnp.asarray(rows), host_features,
+                   miss_cap)
+
+    # -- jitted pieces ------------------------------------------------------
+
+    def plan(self, frontier: jnp.ndarray) -> CachePlan:
+        """Classify each frontier id as cache hit or miss and compact the
+        miss ids for host staging. Jit-safe."""
+        c = self.hot_ids.shape[0]
+        valid = frontier >= 0
+        ids = jnp.where(valid, frontier, 0)
+        pos = jnp.searchsorted(self.hot_ids, ids).astype(jnp.int32)
+        posc = jnp.clip(pos, 0, max(c - 1, 0))
+        hit = valid & (self.hot_ids[posc] == ids) if c > 0 else jnp.zeros_like(valid)
+        miss = valid & jnp.logical_not(hit)
+
+        midx = jnp.cumsum(miss.astype(jnp.int32)) - 1
+        scatter = jnp.where(miss, jnp.minimum(midx, self.miss_cap - 1),
+                            self.miss_cap)
+        miss_ids = jnp.full((self.miss_cap,), -1, jnp.int32)
+        miss_ids = miss_ids.at[scatter].set(
+            jnp.where(miss, frontier, -1), mode="drop")
+        return CachePlan(
+            slot=posc, hit=hit, miss_idx=jnp.minimum(midx, self.miss_cap - 1),
+            miss_ids=miss_ids,
+            num_miss=jnp.sum(miss.astype(jnp.int32)),
+            num_hit=jnp.sum(hit.astype(jnp.int32)),
+            num_valid=jnp.sum(valid.astype(jnp.int32)))
+
+    def combine(self, plan: CachePlan, staged: jnp.ndarray,
+                frontier: jnp.ndarray) -> jnp.ndarray:
+        """Merge cached rows and staged miss rows into the frontier's
+        feature matrix. staged: (miss_cap, D) rows for plan.miss_ids.
+        Padded frontier slots (-1) come out zero."""
+        cached = jnp.take(self.rows, plan.slot, axis=0)
+        missed = jnp.take(staged, jnp.clip(plan.miss_idx, 0, None), axis=0)
+        x = jnp.where(plan.hit[:, None], cached, missed)
+        return x * (frontier >= 0)[:, None].astype(x.dtype)
+
+    # -- host piece ---------------------------------------------------------
+
+    def stage(self, miss_ids: np.ndarray) -> np.ndarray:
+        """Host-side gather of miss rows (numpy fallback; the C++ runtime
+        provides a threaded version — legion_tpu.runtime)."""
+        ids = np.asarray(miss_ids)
+        safe = np.clip(ids, 0, self.host_features.shape[0] - 1)
+        rows = np.asarray(self.host_features[safe], np.float32)
+        rows[ids < 0] = 0.0
+        return rows

@@ -1,0 +1,132 @@
+"""Cached training pipeline: device sampling + HBM hot-row cache + host
+miss staging, double-buffered.
+
+This is the TPU replacement for the reference's decoupled
+sampling-server / training-client architecture (SURVEY.md pillar 3).
+There, a C++ server samples and gathers into per-(device, pipe-slot)
+buffers guarded by POSIX semaphores while the torch client trains on the
+other slot (``src/CUDA_IPC_Service.cu:34-37,140-201``, PIPELINE_DEPTH 2).
+Here both halves live in one process and the pipeline is expressed with
+JAX async dispatch:
+
+  step i:   [device] sample+plan  ->  [host] stage misses  ->  [device] train
+  step i+1:          sample+plan overlaps train(i)  (dispatched first)
+
+Only the small miss-id array crosses device->host per step; miss rows
+cross host->device. Both are exactly metered (metrics.host_bytes).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from legion_tpu.cache.feature_cache import FeatureCache
+from legion_tpu.config import Config
+from legion_tpu.sampling.sampler import DeviceGraph, sample_batch
+from legion_tpu.train.loop import lp_logsigmoid_loss, masked_softmax_ce
+from legion_tpu.train.train_state import TrainState
+
+
+class CachedTrainer:
+    """Train with host-resident features behind a FeatureCache.
+
+    Pass a host_stage callable to override the numpy miss gather (the
+    C++ runtime's threaded gather, legion_tpu.runtime.gather_rows).
+    """
+
+    def __init__(self, cfg: Config, model, caps, graph: DeviceGraph,
+                 cache: FeatureCache, host_stage=None):
+        self.cfg = cfg
+        self.model = model
+        self.caps = tuple(caps)
+        self.graph = graph
+        self.cache = cache
+        self.host_stage = host_stage or cache.stage
+        self.is_lp = cfg.model.arch == "lp_sage"
+        fanouts = tuple(cfg.sampler.fanouts)
+
+        def sample_plan(key, graph, seeds, num_seeds, labels):
+            batch = sample_batch(key, graph, seeds, num_seeds, labels,
+                                 fanouts, self.caps)
+            plan = cache.plan(batch.frontier)
+            return batch, plan
+
+        def train_from(state: TrainState, batch, plan, staged):
+            def loss_fn(params, dkey):
+                x = cache.combine(plan, staged, batch.frontier)
+                blocks = tuple(reversed(batch.blocks))
+                out = model.apply({"params": params}, blocks, x,
+                                  deterministic=False,
+                                  rngs={"dropout": dkey})
+                out = out[: batch.seed_cap]
+                mask = batch.seed_mask()
+                if self.is_lp:
+                    return lp_logsigmoid_loss(out, mask)
+                return masked_softmax_ce(out, batch.labels, mask)
+
+            key = jax.random.fold_in(state.rng, state.step)
+            _, dkey = jax.random.split(key)
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, dkey)
+            state = state.apply_gradients(grads)
+            return state, loss
+
+        self.jit_sample_plan = jax.jit(sample_plan)
+        self.jit_train_from = jax.jit(train_from, donate_argnums=(0,))
+
+    def run_epoch(self, state: TrainState, seeds_epoch: np.ndarray,
+                  labels_epoch: np.ndarray,
+                  depth: Optional[int] = None) -> Dict:
+        """Python-orchestrated pipelined epoch.
+
+        depth: prefetch depth (reference PIPELINE_DEPTH=2,
+        src/Server.cu:15): sample+plan for up to `depth` future steps is
+        dispatched before the current train step blocks on staging.
+        """
+        depth = depth or self.cfg.train.pipeline_depth
+        steps = seeds_epoch.shape[0]
+        b = seeds_epoch.shape[1]
+        nb = jnp.full((), b, jnp.int32)
+        key = jax.random.fold_in(state.rng, int(jax.device_get(state.epoch)))
+
+        t0 = time.perf_counter()
+        inflight = []  # (batch, plan) futures, dispatch order
+        losses = []
+        hits = misses = valid = 0
+        host_bytes = 0
+
+        def dispatch(i):
+            k = jax.random.fold_in(key, i)
+            inflight.append(self.jit_sample_plan(
+                k, self.graph, jnp.asarray(seeds_epoch[i]), nb,
+                jnp.asarray(labels_epoch[i])))
+
+        for i in range(min(depth, steps)):
+            dispatch(i)
+        for i in range(steps):
+            batch, plan = inflight.pop(0)
+            # host staging: blocks only on this step's plan
+            miss_ids = np.asarray(plan.miss_ids)
+            staged = self.host_stage(miss_ids)
+            state, loss = self.jit_train_from(state, batch, plan,
+                                              jnp.asarray(staged))
+            if i + depth < steps:
+                dispatch(i + depth)
+            losses.append(loss)
+            hits += int(plan.num_hit)
+            misses += int(plan.num_miss)
+            valid += int(plan.num_valid)
+            host_bytes += int(plan.num_miss) * staged.shape[1] * 4
+
+        last_loss = float(jax.device_get(losses[-1])) if losses else float("nan")
+        dt = time.perf_counter() - t0
+        return {
+            "state": state, "steps": steps, "seconds": dt,
+            "loss": last_loss,
+            "cache_hit_rate": hits / max(valid, 1),
+            "host_gb": host_bytes / 2 ** 30,
+        }

@@ -70,6 +70,43 @@ def random_power_law_graph(
     )
 
 
+def bench_graph(num_nodes: int = 2_449_029, avg_degree: int = 50,
+                feature_dim: int = 100, num_classes: int = 47,
+                alpha: float = 0.8, seed: int = 0,
+                train_frac: float = 0.08) -> GraphData:
+    """Products-scale synthetic graph for benchmarks (hermetic stand-in
+    for ogbn-products: 2.45M nodes / ~123M edges / feat 100 / 47 classes,
+    ``legion_server.py:6-13``). Optimized generation: inverse-CDF Zipf
+    sampling + random labels — no planted-label pass, which would
+    dominate generation time at this scale."""
+    rng = np.random.default_rng(seed)
+    num_edges = num_nodes * avg_degree
+
+    ranks = np.arange(1, num_nodes + 1, dtype=np.float64)
+    cdf = np.cumsum(ranks ** (-alpha))
+    cdf /= cdf[-1]
+    perm = rng.permutation(num_nodes).astype(np.int32)
+    src = perm[np.searchsorted(cdf, rng.random(num_edges)).astype(np.int32)]
+    dst = rng.integers(0, num_nodes, size=num_edges, dtype=np.int64)
+
+    # CSR directly (avoid from_coo's stable argsort memory spike)
+    order = np.argsort(dst, kind="stable")
+    indptr = np.zeros(num_nodes + 1, dtype=np.int64)
+    counts = np.bincount(dst, minlength=num_nodes)
+    np.cumsum(counts, out=indptr[1:])
+    indices = src[order].astype(np.int32)
+
+    feats = rng.standard_normal((num_nodes, feature_dim), dtype=np.float32)
+    labels = rng.integers(0, num_classes, size=num_nodes, dtype=np.int32)
+    ids = rng.permutation(num_nodes).astype(np.int32)
+    n_train = int(num_nodes * train_frac)
+    return GraphData(indptr=indptr, indices=indices, features=feats,
+                     labels=labels, train_ids=ids[:n_train],
+                     valid_ids=ids[n_train:n_train + n_train // 4],
+                     test_ids=ids[n_train + n_train // 4:
+                                  n_train + n_train // 2])
+
+
 def chain_graph(num_nodes: int = 8, feature_dim: int = 4) -> GraphData:
     """Tiny deterministic chain 0<-1<-2<-...: node v's only in-neighbor is
     v+1. Features are one-hots; used for hand-checkable sampler tests."""

@@ -18,18 +18,24 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from legion_tpu.ops.segment import fanout_gather_mean
+from legion_tpu.ops.segment import fanout_gather_mean, segment_mean_coo
 from legion_tpu.sampling.block import Block
+
+# Aggregator registry: "fanout" is the TPU-native gather+reduce path;
+# "coo_segment" is the scatter-based DGL-style SpMM kept as benchmark
+# baseline and cross-check (same numerics).
+AGGREGATORS = {"fanout": fanout_gather_mean, "coo_segment": segment_mean_coo}
 
 
 class SAGEConv(nn.Module):
     out_dim: int
     dtype: jnp.dtype = jnp.float32
+    agg: str = "fanout"
 
     @nn.compact
     def __call__(self, block: Block, h_src: jnp.ndarray) -> jnp.ndarray:
         h_dst = h_src[: block.dst_cap]
-        h_neigh = fanout_gather_mean(h_src, block)
+        h_neigh = AGGREGATORS[self.agg](h_src, block)
         out = (nn.Dense(self.out_dim, use_bias=True, dtype=self.dtype,
                         name="fc_self")(h_dst)
                + nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
@@ -43,6 +49,7 @@ class SAGE(nn.Module):
     num_layers: int = 2
     dropout: float = 0.5
     dtype: jnp.dtype = jnp.float32
+    agg: str = "fanout"
 
     @nn.compact
     def __call__(self, blocks: Sequence[Block], x: jnp.ndarray,
@@ -51,7 +58,8 @@ class SAGE(nn.Module):
         h = x.astype(self.dtype)
         for i, block in enumerate(blocks):
             dim = self.out_dim if i == self.num_layers - 1 else self.hidden_dim
-            h = SAGEConv(dim, dtype=self.dtype, name=f"layer_{i}")(block, h)
+            h = SAGEConv(dim, dtype=self.dtype, agg=self.agg,
+                         name=f"layer_{i}")(block, h)
             if i != self.num_layers - 1:
                 h = nn.relu(h)
                 h = nn.Dropout(self.dropout, deterministic=deterministic)(h)

@@ -13,6 +13,7 @@ static under jit.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from legion_tpu.sampling.block import Block
@@ -31,6 +32,20 @@ def fanout_gather_mean(h_src: jnp.ndarray, block: Block) -> jnp.ndarray:
     s = fanout_gather_sum(h_src, block)
     cnt = jnp.sum(block.nbr_mask, axis=1, keepdims=True).astype(h_src.dtype)
     return s / jnp.maximum(cnt, 1.0)
+
+
+def segment_mean_coo(h_src: jnp.ndarray, block: Block) -> jnp.ndarray:
+    """Scatter-based mean aggregation over the flattened COO edge list —
+    the DGL/torch-style SpMM formulation the reference client executes.
+    Kept as (a) the vs_baseline reference for benchmarks and (b) a
+    cross-check oracle for the gather-based path; the fanout_gather_*
+    path should always win on TPU (no scatter)."""
+    src, dst, mask = block.coo()
+    msgs = jnp.take(h_src, src, axis=0) * mask[:, None].astype(h_src.dtype)
+    summ = jax.ops.segment_sum(msgs, dst, num_segments=block.dst_cap)
+    cnt = jax.ops.segment_sum(mask.astype(h_src.dtype), dst,
+                              num_segments=block.dst_cap)
+    return summ / jnp.maximum(cnt, 1.0)[:, None]
 
 
 def block_dst_degree(block: Block) -> jnp.ndarray:

@@ -65,16 +65,27 @@ def lp_logsigmoid_loss(emb: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def make_step_fns(cfg: Config, model, caps,
-                  feature_fetch: Optional[Callable] = None):
+                  feature_fetch: Optional[Callable] = None,
+                  shard_axes: Tuple[str, ...] = ()):
     """Build (train_step, eval_step, epoch_scan) pure functions.
 
     feature_fetch(features_pytree, frontier) -> (frontier_cap, F) rows;
     defaults to the plain HBM gather. The cache subsystem supplies an
     alternative closure (see legion_tpu.cache).
+
+    shard_axes: mesh axis names this step is shard_map'ped over. When
+    set, each shard samples an independent batch (per-shard PRNG fold)
+    and gradients/metrics are psum-averaged across the axes — the DDP
+    all-reduce analog (reference ``legion_graphsage.py:140-141``).
     """
     fanouts = tuple(cfg.sampler.fanouts)
     fetch = feature_fetch or (lambda feats, frontier: gather_features(feats, frontier))
     is_lp = cfg.model.arch == "lp_sage"
+
+    def shard_key(key):
+        if shard_axes:
+            key = jax.random.fold_in(key, jax.lax.axis_index(shard_axes))
+        return key
 
     def forward(params, batch, feats, dropout_rng, deterministic):
         x = fetch(feats, batch.frontier)
@@ -95,32 +106,40 @@ def make_step_fns(cfg: Config, model, caps,
 
     def train_step(state: TrainState, graph: DeviceGraph, feats,
                    seeds, num_seeds, labels):
-        key = jax.random.fold_in(state.rng, state.step)
+        key = shard_key(jax.random.fold_in(state.rng, state.step))
         skey, dkey = jax.random.split(key)
         batch = sample_batch(skey, graph, seeds, num_seeds, labels,
                              fanouts, caps)
         loss, grads = jax.value_and_grad(loss_fn)(
             state.params, batch, feats, dkey)
+        if shard_axes:
+            grads = jax.lax.pmean(grads, shard_axes)
+            loss = jax.lax.pmean(loss, shard_axes)
         state = state.apply_gradients(grads)
-        metrics = {
-            "loss": loss,
-            "edges": sum(b.num_edges() for b in batch.blocks),
-            "frontier": batch.num_frontier,
-        }
+        edges = sum(b.num_edges() for b in batch.blocks)
+        frontier = batch.num_frontier
+        if shard_axes:
+            edges = jax.lax.psum(edges, shard_axes)
+            frontier = jax.lax.psum(frontier, shard_axes)
+        metrics = {"loss": loss, "edges": edges, "frontier": frontier}
         return state, metrics
 
     def eval_step(params, graph: DeviceGraph, feats, seeds, num_seeds,
                   labels, key):
-        batch = sample_batch(key, graph, seeds, num_seeds, labels,
-                             fanouts, caps)
+        batch = sample_batch(shard_key(key), graph, seeds, num_seeds,
+                             labels, fanouts, caps)
         out = forward(params, batch, feats, None, deterministic=True)
         out = out[: batch.seed_cap]
         mask = batch.seed_mask()
         if is_lp:
-            return lp_logsigmoid_loss(out, mask), jnp.sum(mask)
-        pred = jnp.argmax(out, axis=-1)
-        correct = jnp.sum((pred == batch.labels) & mask)
-        return correct, jnp.sum(mask)
+            a, b = lp_logsigmoid_loss(out, mask), jnp.sum(mask)
+        else:
+            pred = jnp.argmax(out, axis=-1)
+            a, b = jnp.sum((pred == batch.labels) & mask), jnp.sum(mask)
+        if shard_axes:
+            a = jax.lax.psum(a, shard_axes)
+            b = jax.lax.psum(b, shard_axes)
+        return a, b
 
     def epoch_scan(state: TrainState, graph: DeviceGraph, feats,
                    seeds_epoch, labels_epoch):
