@@ -1,0 +1,106 @@
+"""Full cached-training driver: presampling epoch -> cost model -> cache
+build -> pipelined training with eval.
+
+Mirrors the reference server lifecycle ``Initialize -> PreSc -> Run``
+(``src/main.cpp:4-9``, ``src/Server.cu:83-133``) in one process: the
+presampling epoch measures hotness and realized frontier sizes, the cost
+model splits the HBM budget, caches are filled, the sampler is re-jitted
+with tightened caps (the 1.2x MaxIdNum buffer sizing,
+``src/Server.cu:273-282``), and training runs the double-buffered
+pipeline.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from legion_tpu.cache.cost_model import solve_cost_model
+from legion_tpu.cache.feature_cache import FeatureCache
+from legion_tpu.cache.hotness import observed_caps, presample_hotness
+from legion_tpu.cache.pipeline import CachedTrainer
+from legion_tpu.config import Config
+from legion_tpu.data.format import GraphData
+from legion_tpu.models import build_model
+from legion_tpu.sampling.block import frontier_caps
+from legion_tpu.sampling.sampler import DeviceGraph, sample_batch
+from legion_tpu.sampling.seeds import epoch_train_seeds, make_seed_plan, shard_node_set
+from legion_tpu.train.train_state import create_train_state
+
+
+def run_cached_training(cfg: Config, data: GraphData, log=print) -> Dict:
+    graph = DeviceGraph.from_host(data.indptr, data.indices)
+    num_classes = cfg.dataset.num_classes or data.num_classes
+    b = cfg.sampler.batch_size
+    fanouts = tuple(cfg.sampler.fanouts)
+    loose_caps = frontier_caps(b, fanouts)
+
+    shards = shard_node_set(np.asarray(data.train_ids), 1)
+    plan = make_seed_plan([len(shards[0])], [1], [1], b,
+                          cfg.sampler.eval_batch_size)
+    rng = np.random.default_rng(cfg.train.seed)
+    seeds, _ = epoch_train_seeds(rng, shards, plan)
+
+    # ---- presampling epoch (PreSc) ----------------------------------------
+    t0 = time.perf_counter()
+    steps = cfg.cache.presample_steps or plan.train_steps
+    hot = presample_hotness(
+        jax.random.PRNGKey(cfg.train.seed), graph,
+        jnp.asarray(seeds[0][:steps]),
+        jnp.full((steps,), b, jnp.int32), fanouts, loose_caps,
+        data.num_nodes)
+    log(f"presampling: {steps} steps in {time.perf_counter()-t0:.1f}s, "
+        f"max frontier {int(hot.max_frontier)}/{loose_caps[-1]}")
+
+    # ---- cost model + cache build -----------------------------------------
+    cost = solve_cost_model(
+        np.asarray(hot.node_hot), np.asarray(hot.edge_hot),
+        data.degrees(), cfg.cache.budget_bytes,
+        feat_row_bytes=data.feature_dim * 4,
+        group_size=cfg.cache.group_size,
+        granularity=cfg.cache.cost_model_granularity)
+    log(f"cost model: alpha={cost.alpha:.2f} feat_cap={cost.feat_capacity} "
+        f"topo_cap={cost.topo_capacity}")
+
+    caps = observed_caps(hot.max_per_hop, cfg.sampler.observed_cap_slack)
+    cache = FeatureCache.build(np.asarray(data.features), cost.feat_order,
+                               cost.feat_capacity, miss_cap=caps[-1])
+
+    # ---- model/state init -------------------------------------------------
+    model = build_model(cfg.model.arch, cfg.model.hidden_dim, num_classes,
+                        cfg.model.num_layers, cfg.model.dropout)
+    key = jax.random.PRNGKey(cfg.train.seed)
+    batch0 = jax.jit(sample_batch, static_argnums=(5, 6))(
+        key, graph, jnp.asarray(seeds[0][0]), jnp.full((), b, jnp.int32),
+        jnp.zeros((b,), jnp.int32), fanouts, caps)
+    # param init only needs shapes — zero features are fine
+    x0 = jnp.zeros((caps[-1], data.feature_dim), jnp.float32)
+    params = model.init(key, tuple(reversed(batch0.blocks)), x0,
+                        deterministic=True)["params"]
+    state = create_train_state(params, cfg.train.learning_rate,
+                               cfg.train.seed)
+
+    # ---- training (Run) ---------------------------------------------------
+    from legion_tpu.runtime import gather_rows
+    host_feats = np.asarray(data.features)
+    tr = CachedTrainer(cfg, model, caps, graph, cache,
+                       host_stage=lambda ids: gather_rows(host_feats, ids))
+    history = []
+    labels_all = np.asarray(data.labels)
+    for epoch in range(cfg.train.epochs):
+        ep_rng = np.random.default_rng(cfg.train.seed * 100003 + epoch)
+        s, _ = epoch_train_seeds(ep_rng, shards, plan)
+        lab = labels_all[s[0]]
+        state = state.replace(epoch=jnp.full((), epoch, jnp.int32))
+        r = tr.run_epoch(state, s[0], lab)
+        state = r.pop("state")
+        r["epoch"] = epoch
+        history.append(r)
+        log(f"Epoch:{epoch}, Cost:{r['seconds']:.3f} s, "
+            f"Loss:{r['loss']:.4f}, hit:{r['cache_hit_rate']:.3f}, "
+            f"host_gb:{r['host_gb']:.3f}")
+    return {"state": state, "history": history, "cost": cost}

@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""CLI training driver.
+
+Replaces the reference's three-stage launch (``legion_server.py`` writes
+``meta_config`` + execs the C++ ``./src/legion`` server, then the user
+separately spawns the torch client, ``pytorch_extension/legion_graphsage
+.py:186-190``) with one command and one config:
+
+    python train.py --dataset PR --data-dir /data/products --arch sage
+    python train.py --synthetic 100000 --arch gcn --epochs 5
+    python train.py --config run.json          # full Config JSON
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser("legion_tpu trainer")
+    ap.add_argument("--config", help="Config JSON file (overrides flags)")
+    ap.add_argument("--dataset", default=None,
+                    help="registry code (PR/PA/CO/UKS/UKL/CL/AX)")
+    ap.add_argument("--data-dir", default=None, help="packed dataset dir")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="generate a synthetic graph with N nodes")
+    ap.add_argument("--arch", default="sage",
+                    choices=["sage", "gcn", "lp_sage"])
+    ap.add_argument("--batch-size", type=int, default=1024)
+    ap.add_argument("--fanouts", default="25,10")
+    ap.add_argument("--hidden-dim", type=int, default=256)
+    ap.add_argument("--dropout", type=float, default=0.5)
+    ap.add_argument("--lr", type=float, default=0.003)
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--cache-budget-gb", type=float, default=0.0,
+                    help=">0 enables the hotness cache (host features)")
+    args = ap.parse_args()
+
+    from legion_tpu.config import (DATASET_REGISTRY, CacheConfig, Config,
+                                   DatasetConfig, ModelConfig, SamplerConfig,
+                                   TrainConfig)
+    from legion_tpu.data.format import load_dataset
+    from legion_tpu.data.synthetic import random_power_law_graph
+
+    if args.config:
+        with open(args.config) as f:
+            cfg = Config.from_json(f.read())
+        data = load_dataset(cfg.dataset.path)
+    else:
+        fanouts = tuple(int(x) for x in args.fanouts.split(","))
+        if args.synthetic:
+            data = random_power_law_graph(num_nodes=args.synthetic,
+                                          avg_degree=15, feature_dim=100,
+                                          num_classes=47, seed=args.seed)
+            dcfg = DatasetConfig(name="synthetic", num_classes=47)
+        else:
+            dcfg = (DATASET_REGISTRY[args.dataset] if args.dataset
+                    else DatasetConfig())
+            if not args.data_dir:
+                ap.error("--data-dir (or --synthetic) required")
+            data = load_dataset(args.data_dir)
+            dcfg = DatasetConfig(
+                name=dcfg.name, path=args.data_dir,
+                num_nodes=data.num_nodes, num_edges=data.num_edges,
+                feature_dim=data.feature_dim,
+                num_classes=dcfg.num_classes or data.num_classes,
+                feature_placement=("host" if args.cache_budget_gb > 0
+                                   else "hbm"))
+        cfg = Config(
+            dataset=dcfg,
+            sampler=SamplerConfig(fanouts=fanouts,
+                                  batch_size=args.batch_size),
+            model=ModelConfig(arch=args.arch, hidden_dim=args.hidden_dim,
+                              num_layers=len(fanouts),
+                              dropout=args.dropout),
+            train=TrainConfig(learning_rate=args.lr, epochs=args.epochs,
+                              seed=args.seed,
+                              checkpoint_dir=args.checkpoint_dir),
+            cache=CacheConfig(enabled=args.cache_budget_gb > 0,
+                              budget_bytes=int(args.cache_budget_gb * 2**30)),
+        )
+
+    print(cfg.to_json())
+    if cfg.cache.enabled:
+        from legion_tpu.train.cached_driver import run_cached_training
+        run_cached_training(cfg, data)
+    else:
+        from legion_tpu.train.loop import Trainer
+        Trainer(cfg, data).fit()
+
+
+if __name__ == "__main__":
+    main()
