@@ -97,7 +97,7 @@ def run_variant(agg, graph, feats, cfg, caps, seeds, labels):
                  out_dim=cfg.dataset.num_classes,
                  num_layers=cfg.model.num_layers,
                  dropout=cfg.model.dropout, agg=agg)
-    _, _, epoch_scan = make_step_fns(cfg, model, caps)
+    epoch_scan = make_step_fns(cfg, model, caps).epoch_scan
 
     key = jax.random.PRNGKey(0)
     batch = jax.jit(sample_batch, static_argnums=(5, 6))(
@@ -109,17 +109,23 @@ def run_variant(agg, graph, feats, cfg, caps, seeds, labels):
     state = create_train_state(params, cfg.train.learning_rate, 0)
 
     jepoch = jax.jit(epoch_scan, donate_argnums=(0,))
+    # warmup MUST use the same scan length (different leading dim =
+    # recompile), and timing MUST fetch values — block_until_ready does
+    # not reliably block on the tunneled TPU platform.
     t0 = time.perf_counter()
-    state, _, _ = jax.block_until_ready(
-        jepoch(state, graph, feats, seeds[:2], labels[:2]))
+    state, losses, _ = jepoch(state, graph, feats, seeds, labels)
+    _ = float(losses[-1])
     log(f"[{agg}] compile+warmup {time.perf_counter() - t0:.1f}s")
-    t0 = time.perf_counter()
-    state, losses, edges = jax.block_until_ready(
-        jepoch(state, graph, feats, seeds[2:], labels[2:]))
-    dt = time.perf_counter() - t0
-    eps = float(edges) / dt
-    log(f"[{agg}] {STEPS - 2} steps in {dt:.3f}s -> {eps:.3e} edges/s "
-        f"(loss {float(losses[-1]):.3f})")
+    best = None
+    for _trial in range(2):
+        t0 = time.perf_counter()
+        state, losses, edges = jepoch(state, graph, feats, seeds, labels)
+        e, l = float(edges), float(losses[-1])
+        dt = time.perf_counter() - t0
+        best = min(best, dt) if best else dt
+    eps = e / best
+    log(f"[{agg}] {STEPS} steps in {best:.3f}s -> {eps:.3e} edges/s "
+        f"(loss {l:.3f})")
     return eps
 
 
@@ -152,8 +158,19 @@ def main():
     caps = probe_caps(graph, seeds, labels)
 
     eps_fanout = run_variant("fanout", graph, feats, cfg, caps, seeds, labels)
-    eps_coo = run_variant("coo_segment", graph, feats, cfg, caps, seeds,
-                          labels)
+
+    # Baseline (scatter-SpMM port) is deterministic given shapes; its
+    # measurement is memoized so the default bench needs one compile —
+    # the remote compile service's latency varies 50s..510s per program.
+    # Delete .bench_cache/baseline_*.json to force a re-measure.
+    memo = os.path.join(CACHE_DIR, f"baseline_{NODES}_{DEG}_{BATCH}.json")
+    if os.path.exists(memo):
+        eps_coo = json.load(open(memo))["edges_per_s"]
+        log(f"[coo_segment] baseline from cache: {eps_coo:.3e} edges/s")
+    else:
+        eps_coo = run_variant("coo_segment", graph, feats, cfg, caps, seeds,
+                              labels)
+        json.dump({"edges_per_s": eps_coo}, open(memo, "w"))
 
     print(json.dumps({
         "metric": "train_edges_per_s",

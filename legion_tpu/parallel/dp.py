@@ -50,7 +50,7 @@ def make_dp_train_step(cfg: Config, model, caps, mesh: Mesh,
     if sharded_features:
         fetch = lambda feats, frontier: sharded_row_fetch(  # noqa: E731
             feats, frontier, "cache")
-    train_step, eval_step, _ = make_step_fns(
+    train_step, eval_step, *_ = make_step_fns(
         cfg, model, caps, feature_fetch=fetch, shard_axes=MESH_AXES)
 
     feats_spec = P("cache") if sharded_features else P()

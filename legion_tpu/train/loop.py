@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import functools
 import time
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +31,15 @@ from legion_tpu.sampling.seeds import (
     SeedPlan, epoch_eval_seeds, epoch_train_seeds, make_seed_plan, shard_node_set)
 from legion_tpu.train.train_state import (
     TrainState, create_train_state, restore_checkpoint, save_checkpoint)
+
+
+class StepFns(NamedTuple):
+    """Pure step functions built by make_step_fns. Callers destructure
+    (train_step, eval_step, epoch_scan, eval_scan) or access by name."""
+    train_step: Callable
+    eval_step: Callable
+    epoch_scan: Callable
+    eval_scan: Callable
 
 
 # ---------------------------------------------------------------------------
@@ -141,6 +150,25 @@ def make_step_fns(cfg: Config, model, caps,
             b = jax.lax.psum(b, shard_axes)
         return a, b
 
+    def eval_scan(params, graph: DeviceGraph, feats, seeds_epoch,
+                  counts, labels_epoch, key):
+        """All eval steps in one scan (the reference's valid/test loops,
+        legion_graphsage.py:159-181, without per-step dispatch)."""
+        def body(carry, xs):
+            a_sum, b_sum = carry
+            seeds, nb, labels, k = xs
+            a, b = eval_step(params, graph, feats, seeds, nb, labels, k)
+            return (a_sum + a.astype(jnp.float32),
+                    b_sum + b.astype(jnp.float32)), None
+
+        steps = seeds_epoch.shape[0]
+        keys = jax.random.split(key, steps)
+        (a, b), _ = jax.lax.scan(
+            body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
+            (seeds_epoch, counts,
+             labels_epoch, keys))
+        return a, b
+
     def epoch_scan(state: TrainState, graph: DeviceGraph, feats,
                    seeds_epoch, labels_epoch):
         """Whole training epoch as one lax.scan — zero dispatch overhead,
@@ -157,7 +185,8 @@ def make_step_fns(cfg: Config, model, caps,
             body, state, (seeds_epoch, labels_epoch))
         return state, losses, jnp.sum(edges)
 
-    return train_step, eval_step, epoch_scan
+    return StepFns(train_step=train_step, eval_step=eval_step,
+                   epoch_scan=epoch_scan, eval_scan=eval_scan)
 
 
 # ---------------------------------------------------------------------------
@@ -202,13 +231,12 @@ class Trainer:
             if restored is not None:
                 self.state = restored
 
-        self._train_step, self._eval_step, self._epoch_scan = make_step_fns(
-            cfg, self.model, self.caps)
-        _, self._eval_step_small, _ = make_step_fns(
-            cfg, self.model, self.eval_caps)
-        self.jit_epoch = jax.jit(self._epoch_scan, donate_argnums=(0,))
-        self.jit_train_step = jax.jit(self._train_step, donate_argnums=(0,))
-        self.jit_eval_step = jax.jit(self._eval_step_small)
+        fns = make_step_fns(cfg, self.model, self.caps)
+        fns_eval = make_step_fns(cfg, self.model, self.eval_caps)
+        self.jit_epoch = jax.jit(fns.epoch_scan, donate_argnums=(0,))
+        self.jit_train_step = jax.jit(fns.train_step, donate_argnums=(0,))
+        self.jit_eval_step = jax.jit(fns_eval.eval_step)
+        self.jit_eval_scan = jax.jit(fns_eval.eval_scan)
         self.history: list[Dict] = []
 
     def _init_state(self) -> TrainState:
@@ -254,19 +282,13 @@ class Trainer:
         cap = self.cfg.sampler.eval_batch_size
         seeds, counts = epoch_eval_seeds([shards[shard]], steps, (per[shard],), cap)
         labels_all = np.asarray(self.data.labels)
-        correct = total = 0
-        key = jax.random.PRNGKey(12345)
-        for t in range(steps):
-            s = seeds[0, t]
-            lab = np.where(s >= 0, labels_all[np.clip(s, 0, None)], -1)
-            key, sub = jax.random.split(key)
-            c, n = self.jit_eval_step(
-                self.state.params, self.graph, self.features,
-                jnp.asarray(s), jnp.full((), counts[0, t], jnp.int32),
-                jnp.asarray(lab), sub)
-            correct += int(jax.device_get(c))
-            total += int(jax.device_get(n))
-        return correct / max(total, 1)
+        lab = np.where(seeds[0] >= 0, labels_all[np.clip(seeds[0], 0, None)],
+                       -1).astype(np.int32)
+        c, n = self.jit_eval_scan(
+            self.state.params, self.graph, self.features,
+            jnp.asarray(seeds[0]), jnp.asarray(counts[0]),
+            jnp.asarray(lab), jax.random.PRNGKey(12345))
+        return float(jax.device_get(c)) / max(float(jax.device_get(n)), 1.0)
 
     def fit(self, epochs: Optional[int] = None,
             log: Callable[[str], None] = print) -> Dict:

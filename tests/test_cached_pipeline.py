@@ -84,7 +84,7 @@ def test_cached_matches_uncached_when_cache_holds_all(small_graph):
     assert r["cache_hit_rate"] == 1.0
 
     # plain run, same seeds/keys
-    train_step, _, _ = make_step_fns(cfg, model, caps)
+    train_step = make_step_fns(cfg, model, caps).train_step
     st2 = create_train_state(jax.tree_util.tree_map(jnp.copy, params), 0.01, 0)
     # reproduce CachedTrainer's key schedule
     key = jax.random.fold_in(st2.rng, 0)
