@@ -127,6 +127,64 @@ def grow_frontier(frontier_prev: jnp.ndarray, num_prev: jnp.ndarray,
     return frontier_new, num_new_total.astype(jnp.int32), block
 
 
+def grow_frontier_scatter(frontier_prev: jnp.ndarray, num_prev: jnp.ndarray,
+                          neighbors: jnp.ndarray, cap_new: int,
+                          pos_map: jnp.ndarray, stamp: jnp.ndarray,
+                          stamp_val: jnp.ndarray
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray, Block,
+                                     jnp.ndarray, jnp.ndarray]:
+    """Sort-free dedup using a dense position map — the reference's own
+    structure (``position_map[N]``, ``src/Server.cu:222``,
+    ``src/Kernels.cu:434-438``) made functional: CUDA atomics become a
+    scatter-min winner election, and per-batch bitmap clearing becomes a
+    stamp comparison (``stamp[id] == stamp_val``) so no O(N) clear is
+    needed between batches.
+
+    Requires carried state (pos_map, stamp: (N,) int32). Before hop 1
+    the caller must stamp the seeds (see sample_batch). New nodes are
+    appended in edge order (not sorted id order) — same contract
+    otherwise as grow_frontier.
+
+    Returns (frontier_new, num_new, block, pos_map, stamp).
+    """
+    p, fanout = neighbors.shape
+    n = pos_map.shape[0]
+    e = p * fanout
+    ids = neighbors.reshape(-1)
+    valid = ids >= 0
+    safe = jnp.where(valid, ids, 0)
+
+    is_old = valid & (stamp[safe] == stamp_val)
+    cand = valid & jnp.logical_not(is_old)
+
+    # winner election: lowest edge index per new id
+    eidx = jnp.arange(e, dtype=jnp.int32)
+    scratch = jnp.full((n,), jnp.iinfo(jnp.int32).max, jnp.int32)
+    scratch = scratch.at[jnp.where(cand, safe, n)].min(eidx, mode="drop")
+    winner = cand & (scratch[safe] == eidx)
+
+    new_rank = jnp.cumsum(winner.astype(jnp.int32)) - 1
+    newpos = (num_prev + new_rank).astype(jnp.int32)
+    num_new = (num_prev + jnp.sum(winner.astype(jnp.int32))).astype(jnp.int32)
+
+    widx = jnp.where(winner, safe, n)
+    pos_map = pos_map.at[widx].set(newpos, mode="drop")
+    stamp = stamp.at[widx].set(stamp_val, mode="drop")
+
+    frontier_new = jnp.full((cap_new,), -1, jnp.int32)
+    frontier_new = frontier_new.at[: frontier_prev.shape[0]].set(frontier_prev)
+    frontier_new = frontier_new.at[
+        jnp.where(winner, jnp.minimum(newpos, cap_new - 1), cap_new)
+    ].set(jnp.where(winner, ids, -1), mode="drop")
+
+    nbr_pos = pos_map[safe].reshape(p, fanout)
+    nbr_mask = neighbors >= 0
+    block = Block(
+        nbr_pos=jnp.where(nbr_mask, nbr_pos, 0).astype(jnp.int32),
+        nbr_mask=nbr_mask, num_src=num_new, num_dst=num_prev.astype(jnp.int32))
+    return frontier_new, num_new, block, pos_map, stamp
+
+
 def sample_batch(key: jax.Array, graph: DeviceGraph, seeds: jnp.ndarray,
                  num_seeds: jnp.ndarray, labels: jnp.ndarray,
                  fanouts: Sequence[int],
@@ -157,6 +215,42 @@ def sample_batch(key: jax.Array, graph: DeviceGraph, seeds: jnp.ndarray,
     return SampledBatch(
         seeds=seeds, labels=labels, num_seeds=num_seeds.astype(jnp.int32),
         frontier=frontier, num_frontier=num, blocks=tuple(blocks))
+
+
+def sample_batch_scatter(key: jax.Array, graph: DeviceGraph,
+                         seeds: jnp.ndarray, num_seeds: jnp.ndarray,
+                         labels: jnp.ndarray, fanouts: Sequence[int],
+                         caps: Sequence[int], pos_map: jnp.ndarray,
+                         stamp: jnp.ndarray, stamp_val: jnp.ndarray):
+    """sample_batch variant using the dense-position-map dedup
+    (grow_frontier_scatter). pos_map/stamp are (num_nodes,) int32 carried
+    across steps (donate them); stamp_val must be unique per batch
+    (e.g. step+1; 0 is reserved for the initial stamp fill).
+
+    Returns (SampledBatch, pos_map, stamp).
+    """
+    caps = tuple(caps)
+    n = pos_map.shape[0]
+    valid = seeds >= 0
+    sidx = jnp.where(valid, seeds, n)
+    pos_map = pos_map.at[sidx].set(
+        jnp.arange(seeds.shape[0], dtype=jnp.int32), mode="drop")
+    stamp = stamp.at[sidx].set(stamp_val, mode="drop")
+
+    frontier = jnp.full((caps[0],), -1, jnp.int32).at[: seeds.shape[0]].set(seeds)
+    num = num_seeds.astype(jnp.int32)
+    blocks = []
+    for k, fanout in enumerate(fanouts):
+        key, sub = jax.random.split(key)
+        nbrs = sample_neighbors(sub, graph, frontier, fanout)
+        frontier, num, blk, pos_map, stamp = grow_frontier_scatter(
+            frontier, num, nbrs, caps[k + 1], pos_map, stamp, stamp_val)
+        blocks.append(blk)
+
+    batch = SampledBatch(
+        seeds=seeds, labels=labels, num_seeds=num_seeds.astype(jnp.int32),
+        frontier=frontier, num_frontier=num, blocks=tuple(blocks))
+    return batch, pos_map, stamp
 
 
 def gather_features(features: jnp.ndarray, frontier: jnp.ndarray) -> jnp.ndarray:

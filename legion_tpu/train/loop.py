@@ -267,10 +267,17 @@ class Trainer:
             jnp.asarray(seeds[0]), jnp.asarray(labels))
         losses = jax.device_get(losses)
         dt = time.perf_counter() - t0
+        # exact byte accounting (PCM-counter replacement, SURVEY.md §5):
+        # every step gathers frontier_cap feature rows from HBM
+        feat_bytes = (self.plan.train_steps * self.caps[-1]
+                      * self.data.feature_dim * 4)
         rec = {"epoch": epoch, "loss": float(losses[-1]),
                "mean_loss": float(losses.mean()),
-               "epoch_s": dt, "edges_per_s": float(jax.device_get(edges)) / dt}
+               "epoch_s": dt, "edges_per_s": float(jax.device_get(edges)) / dt,
+               "feature_gb": feat_bytes / 2 ** 30}
         self.history.append(rec)
+        from legion_tpu.utils.logging import log_metrics
+        log_metrics({"event": "train_epoch", **rec})
         return rec
 
     def evaluate(self, which: str = "valid", shard: int = 0) -> float:
