@@ -89,42 +89,77 @@ def grow_frontier(frontier_prev: jnp.ndarray, num_prev: jnp.ndarray,
     numbering. Pure-functional replacement of the reference's atomic
     bitmap + position_map (``src/Kernels.cu:412-438``).
 
+    Algorithm (chosen by TPU microbenchmarks — bitonic sorts are ~5ms
+    per 1.4M keys while jnp.unique's index/inverse machinery and
+    searchsorted's scan lowering cost 4-40x that): one stable
+    (id, origin) sort of [prev | neighbors], then segmented propagation
+    over equal-id groups:
+
+    * stability puts each id's prev-frontier occurrence (if any) first
+      in its group, and its origin index IS its existing position;
+    * group leaders that are not prev occurrences are brand-new ids,
+      ranked by cumsum => appended positions in sorted-id order;
+    * positions broadcast to group members with a cummax (positions are
+      nonnegative, groups contiguous), and one scatter returns them to
+      edge order.
+
     Returns (frontier_new (cap_new,), num_new (), block).
     """
     p, fanout = neighbors.shape
+    prev_cap = frontier_prev.shape[0]
     prev_s = jnp.where(frontier_prev >= 0, frontier_prev, SENTINEL)
     nbr_s = jnp.where(neighbors >= 0, neighbors, SENTINEL).reshape(-1)
     cat = jnp.concatenate([prev_s, nbr_s])
+    total = cat.shape[0]
 
-    uniq, first_idx, inv = jnp.unique(
-        cat, size=cap_new, fill_value=SENTINEL,
-        return_index=True, return_inverse=True)
-    uniq_valid = uniq != SENTINEL
+    orig = jnp.arange(total, dtype=jnp.int32)
+    s, sorig = jax.lax.sort([cat, orig], num_keys=1, is_stable=True)
 
-    # An id is "old" iff its first occurrence lies in the prev section;
-    # prev is dense-prefix so that first occurrence IS its position.
-    old = uniq_valid & (first_idx < frontier_prev.shape[0])
-    new = uniq_valid & jnp.logical_not(old)
-    new_rank = jnp.cumsum(new.astype(jnp.int32)) - 1
-    pos = jnp.where(old, first_idx.astype(jnp.int32), num_prev + new_rank)
-    num_new_total = num_prev + jnp.sum(new.astype(jnp.int32))
+    valid_s = s != SENTINEL
+    first = valid_s & jnp.concatenate(
+        [jnp.ones((1,), bool), s[1:] != s[:-1]])
+    old_first = first & (sorig < prev_cap)
+    new_first = first & (sorig >= prev_cap)
 
-    # Scatter unique ids to their positions; invalid entries dropped.
-    scatter_pos = jnp.where(uniq_valid, pos, cap_new)
-    frontier_new = jnp.full((cap_new,), -1, dtype=jnp.int32)
-    frontier_new = frontier_new.at[scatter_pos].set(
-        jnp.where(uniq_valid, uniq, -1), mode="drop")
+    new_rank = jnp.cumsum(new_first.astype(jnp.int32)) - 1
+    num_new_total = (num_prev
+                     + jnp.sum(new_first.astype(jnp.int32))).astype(jnp.int32)
 
-    nbr_inv = inv[frontier_prev.shape[0]:].reshape(p, fanout)
-    nbr_pos = pos[nbr_inv]
+    pos_at_first = jnp.where(old_first, sorig,
+                             num_prev + new_rank).astype(jnp.int32)
+
+    # segmented broadcast leader->group: associative "last leader wins"
+    # scan (old positions are NOT monotonic in sorted-id order, so a
+    # plain cummax would leak a larger earlier position into the next
+    # group — the flag carries "have seen a leader yet").
+    def seg_copy(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av), af | bf
+
+    pos_sorted, _ = jax.lax.associative_scan(
+        seg_copy, (jnp.where(first, pos_at_first, 0), first))
+
+    # back to original order (one scatter), then the neighbor section
+    pos_orig = jnp.zeros((total,), jnp.int32).at[sorig].set(
+        pos_sorted, mode="drop")
+    nbr_pos = pos_orig[prev_cap:].reshape(p, fanout)
+
+    # frontier: prev prefix + new ids at their appended positions
+    frontier_new = jnp.full((cap_new,), -1, jnp.int32)
+    frontier_new = frontier_new.at[:prev_cap].set(frontier_prev)
+    frontier_new = frontier_new.at[
+        jnp.where(new_first, num_prev + new_rank, cap_new)
+    ].set(s, mode="drop")
+
     nbr_mask = neighbors >= 0
     block = Block(
         nbr_pos=jnp.where(nbr_mask, nbr_pos, 0).astype(jnp.int32),
         nbr_mask=nbr_mask,
-        num_src=num_new_total.astype(jnp.int32),
+        num_src=num_new_total,
         num_dst=num_prev.astype(jnp.int32),
     )
-    return frontier_new, num_new_total.astype(jnp.int32), block
+    return frontier_new, num_new_total, block
 
 
 def grow_frontier_scatter(frontier_prev: jnp.ndarray, num_prev: jnp.ndarray,

@@ -72,7 +72,8 @@ def run_cached_training(cfg: Config, data: GraphData, log=print) -> Dict:
 
     # ---- model/state init -------------------------------------------------
     model = build_model(cfg.model.arch, cfg.model.hidden_dim, num_classes,
-                        cfg.model.num_layers, cfg.model.dropout)
+                        cfg.model.num_layers, cfg.model.dropout,
+                        dtype=cfg.model.dtype)
     key = jax.random.PRNGKey(cfg.train.seed)
     batch0 = jax.jit(sample_batch, static_argnums=(5, 6))(
         key, graph, jnp.asarray(seeds[0][0]), jnp.full((), b, jnp.int32),

@@ -59,6 +59,7 @@ def masked_softmax_ce(logits: jnp.ndarray, labels: jnp.ndarray,
 def lp_logsigmoid_loss(emb: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Link-prediction loss: batch thirds are (anchor, pos, neg);
     -logsigmoid(a.p) - logsigmoid(-(a.n)), mean (lp_sage.py:86-91)."""
+    emb = emb.astype(jnp.float32)   # reduce in f32 even for bf16 models
     third = emb.shape[0] // 3
     a, p, n = emb[:third], emb[third:2 * third], emb[2 * third:3 * third]
     m = (mask[:third] & mask[third:2 * third] & mask[2 * third:3 * third]
@@ -224,7 +225,7 @@ class Trainer:
         num_classes = cfg.dataset.num_classes or data.num_classes
         self.model = build_model(cfg.model.arch, cfg.model.hidden_dim,
                                  num_classes, cfg.model.num_layers,
-                                 cfg.model.dropout)
+                                 cfg.model.dropout, dtype=cfg.model.dtype)
         self.state = self._init_state()
         if cfg.train.checkpoint_dir:
             restored = restore_checkpoint(cfg.train.checkpoint_dir, self.state)

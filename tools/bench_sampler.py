@@ -74,3 +74,31 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+# appended: fast (sorted-view) variant timing — run via main2()
+def main2():
+    import json as _json
+    from legion_tpu.sampling.sampler import sample_batch_fast
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "..", ".bench_cache")
+    data = load_dataset(os.path.join(cache, "synth_2449029_50"), mmap=False)
+    capf = os.path.join(cache, f"caps_2449029_50_{BATCH}.json")
+    caps = (tuple(_json.load(open(capf))) if os.path.exists(capf)
+            else frontier_caps(BATCH, FANOUTS))
+    graph = DeviceGraph.from_host(data.indptr, data.indices)
+    seeds = jnp.asarray(np.random.default_rng(0).permutation(
+        np.asarray(data.train_ids))[:BATCH].astype(np.int32))
+    nb = jnp.full((), BATCH, jnp.int32)
+    labels = jnp.zeros((BATCH,), jnp.int32)
+    for name, fn in [("sort(unique)", sample_batch),
+                     ("fast(sorted-view)", sample_batch_fast)]:
+        jf = jax.jit(fn, static_argnums=(5, 6))
+        out = jf(jax.random.PRNGKey(0), graph, seeds, nb, labels, FANOUTS, caps)
+        _ = int(out.num_frontier)
+        t0 = time.perf_counter()
+        for i in range(REPS):
+            out = jf(jax.random.PRNGKey(i), graph, seeds, nb, labels,
+                     FANOUTS, caps)
+        nf = int(out.num_frontier)
+        dt = (time.perf_counter() - t0) / REPS
+        print(f"{name:20s} {dt*1e3:8.2f} ms (frontier {nf})", flush=True)
