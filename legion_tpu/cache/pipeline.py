@@ -75,8 +75,21 @@ class CachedTrainer:
             state = state.apply_gradients(grads)
             return state, loss
 
+        def eval_from(params, batch, plan, staged):
+            x = cache.combine(plan, staged, batch.frontier)
+            blocks = tuple(reversed(batch.blocks))
+            out = model.apply({"params": params}, blocks, x,
+                              deterministic=True)
+            out = out[: batch.seed_cap]
+            mask = batch.seed_mask()
+            if self.is_lp:
+                return lp_logsigmoid_loss(out, mask), jnp.sum(mask)
+            pred = jnp.argmax(out, axis=-1)
+            return jnp.sum((pred == batch.labels) & mask), jnp.sum(mask)
+
         self.jit_sample_plan = jax.jit(sample_plan)
         self.jit_train_from = jax.jit(train_from, donate_argnums=(0,))
+        self.jit_eval_from = jax.jit(eval_from)
 
     def run_epoch(self, state: TrainState, seeds_epoch: np.ndarray,
                   labels_epoch: np.ndarray,
@@ -130,3 +143,24 @@ class CachedTrainer:
             "cache_hit_rate": hits / max(valid, 1),
             "host_gb": host_bytes / 2 ** 30,
         }
+
+    def eval_epoch(self, params, seeds: np.ndarray, counts: np.ndarray,
+                   labels: np.ndarray, key=None) -> float:
+        """Deterministic eval through the cached feature path; returns
+        accuracy (classification) or mean LP loss."""
+        key = key if key is not None else jax.random.PRNGKey(4242)
+        a_sum = b_sum = 0.0
+        for t in range(seeds.shape[0]):
+            key, sub = jax.random.split(key)
+            batch, plan = self.jit_sample_plan(
+                sub, self.graph, jnp.asarray(seeds[t]),
+                jnp.full((), int(counts[t]), jnp.int32),
+                jnp.asarray(labels[t]))
+            staged = self.host_stage(np.asarray(plan.miss_ids))
+            a, b = self.jit_eval_from(params, batch, plan,
+                                      jnp.asarray(staged))
+            a_sum += float(jax.device_get(a))
+            b_sum += float(jax.device_get(b))
+        if self.is_lp:
+            return a_sum / max(seeds.shape[0], 1)
+        return a_sum / max(b_sum, 1.0)

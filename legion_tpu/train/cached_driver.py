@@ -40,7 +40,9 @@ def run_cached_training(cfg: Config, data: GraphData, log=print) -> Dict:
     loose_caps = frontier_caps(b, fanouts)
 
     shards = shard_node_set(np.asarray(data.train_ids), 1)
-    plan = make_seed_plan([len(shards[0])], [1], [1], b,
+    valid_n = max(len(data.valid_ids), 1)
+    test_n = max(len(data.test_ids), 1)
+    plan = make_seed_plan([len(shards[0])], [valid_n], [test_n], b,
                           cfg.sampler.eval_batch_size)
     rng = np.random.default_rng(cfg.train.seed)
     seeds, _ = epoch_train_seeds(rng, shards, plan)
@@ -92,6 +94,22 @@ def run_cached_training(cfg: Config, data: GraphData, log=print) -> Dict:
                        host_stage=lambda ids: gather_rows(host_feats, ids))
     history = []
     labels_all = np.asarray(data.labels)
+
+    def eval_set(ids: np.ndarray, *_unused) -> float:
+        if not len(ids):
+            return float("nan")
+        from legion_tpu.sampling.seeds import epoch_eval_seeds
+        # eval reuses the train-caps sampler, so the per-step eval batch
+        # is capped at min(eval_batch_size, train batch)
+        per_lim = min(cfg.sampler.eval_batch_size, b)
+        steps = (len(ids) - 1) // per_lim + 1
+        per = (len(ids) - 1) // steps + 1
+        seeds_e, counts_e = epoch_eval_seeds([ids], steps, (per,), b)
+        lab_e = np.where(seeds_e[0] >= 0,
+                         labels_all[np.clip(seeds_e[0], 0, None)],
+                         -1).astype(np.int32)
+        return tr.eval_epoch(state.params, seeds_e[0], counts_e[0], lab_e)
+
     for epoch in range(cfg.train.epochs):
         ep_rng = np.random.default_rng(cfg.train.seed * 100003 + epoch)
         s, _ = epoch_train_seeds(ep_rng, shards, plan)
@@ -100,8 +118,14 @@ def run_cached_training(cfg: Config, data: GraphData, log=print) -> Dict:
         r = tr.run_epoch(state, s[0], lab)
         state = r.pop("state")
         r["epoch"] = epoch
+        r["valid"] = eval_set(np.asarray(data.valid_ids),
+                              plan.valid_steps, plan.valid_batch[0])
         history.append(r)
         log(f"Epoch:{epoch}, Cost:{r['seconds']:.3f} s, "
             f"Loss:{r['loss']:.4f}, hit:{r['cache_hit_rate']:.3f}, "
-            f"host_gb:{r['host_gb']:.3f}")
-    return {"state": state, "history": history, "cost": cost}
+            f"host_gb:{r['host_gb']:.3f}, Val Acc: {r['valid']:.4f}")
+    test_acc = eval_set(np.asarray(data.test_ids), plan.test_steps,
+                        plan.test_batch[0])
+    log(f"Accuracy on test data: {test_acc:.4f}")
+    return {"state": state, "history": history, "cost": cost,
+            "test_acc": test_acc}

@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     ap.add_argument("--cache-budget-gb", type=float, default=0.0,
                     help=">0 enables the hotness cache (host features)")
     args = ap.parse_args()
@@ -77,7 +79,7 @@ def main():
                                   batch_size=args.batch_size),
             model=ModelConfig(arch=args.arch, hidden_dim=args.hidden_dim,
                               num_layers=len(fanouts),
-                              dropout=args.dropout),
+                              dropout=args.dropout, dtype=args.dtype),
             train=TrainConfig(learning_rate=args.lr, epochs=args.epochs,
                               seed=args.seed,
                               checkpoint_dir=args.checkpoint_dir),
