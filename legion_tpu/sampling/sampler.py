@@ -140,9 +140,10 @@ def grow_frontier(frontier_prev: jnp.ndarray, num_prev: jnp.ndarray,
     pos_sorted, _ = jax.lax.associative_scan(
         seg_copy, (jnp.where(first, pos_at_first, 0), first))
 
-    # back to original order (one scatter), then the neighbor section
-    pos_orig = jnp.zeros((total,), jnp.int32).at[sorig].set(
-        pos_sorted, mode="drop")
+    # back to original order: TPU scatters are ~2x slower than sorts
+    # (measured 9.7ms scatter vs 5.2ms KV sort per 1.4M), so un-sort by
+    # sorting (sorig, pos_sorted) on the origin index.
+    _, pos_orig = jax.lax.sort([sorig, pos_sorted], num_keys=1)
     nbr_pos = pos_orig[prev_cap:].reshape(p, fanout)
 
     # frontier: prev prefix + new ids at their appended positions

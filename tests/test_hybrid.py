@@ -1,0 +1,51 @@
+"""Hybrid (device sub-CSR + host CSR) sampler: structural invariants,
+true-edge checks, and hotness split accounting."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from legion_tpu.cache.hybrid import HybridSampler
+from legion_tpu.cache.topo_cache import TopoCache
+from legion_tpu.sampling.block import frontier_caps
+
+
+def test_hybrid_sampler_end_to_end(small_graph):
+    indptr = np.asarray(small_graph.indptr)
+    indices = np.asarray(small_graph.indices)
+    # cache the highest-degree 40% of nodes
+    hot_order = np.argsort(-np.diff(indptr)).astype(np.int32)
+    topo = TopoCache.build(indptr, indices, hot_order, capacity=800)
+
+    b, fanouts = 48, (5, 4)
+    caps = frontier_caps(b, fanouts)
+    hs = HybridSampler(topo, indptr, indices, fanouts, caps)
+
+    seeds_np = np.unique(np.asarray(small_graph.train_ids)[:b]).astype(np.int32)
+    seeds = np.full((b,), -1, np.int32)
+    seeds[:len(seeds_np)] = seeds_np
+    batch = hs.sample_batch(jax.random.PRNGKey(0), jnp.asarray(seeds),
+                            len(seeds_np), jnp.zeros((b,), jnp.int32),
+                            host_seed=7)
+
+    frontier = np.asarray(batch.frontier)
+    nf = int(batch.num_frontier)
+    assert (frontier[:nf] >= 0).all() and (frontier[nf:] == -1).all()
+    assert len(set(frontier[:nf].tolist())) == nf
+
+    # every valid edge decodes to a true graph edge regardless of the leg
+    for blk in batch.blocks:
+        pos = np.asarray(blk.nbr_pos)
+        mask = np.asarray(blk.nbr_mask)
+        for d in range(pos.shape[0]):
+            for f in range(pos.shape[1]):
+                if mask[d, f]:
+                    dst_gid = frontier[d]
+                    src_gid = frontier[pos[d, f]]
+                    nbrs = indices[indptr[dst_gid]:indptr[dst_gid + 1]]
+                    assert src_gid in nbrs
+
+    # both legs exercised; stats metered
+    assert hs.stats["hot"] > 0 and hs.stats["cold"] > 0
+    assert 0.0 < hs.hot_fraction() < 1.0
+    assert hs.stats["host_bytes"] > 0

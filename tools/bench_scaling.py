@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Multi-chip scaling study harness.
+
+Measures train-step edges/s of the DP path at 1..K chips. On real
+multi-chip hardware this produces the scaling-efficiency number
+(BASELINE target: >=75% at 2+ hosts); in this container it runs on the
+virtual CPU mesh, which validates the sharded program and the
+efficiency *accounting* but not real ICI/DCN bandwidth — run on a pod
+slice for real numbers.
+
+Usage: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+         python tools/bench_scaling.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+
+
+def main():
+    if jax.default_backend() == "cpu":
+        print("NOTE: virtual CPU mesh — program validation only, not a "
+              "hardware scaling measurement", file=sys.stderr)
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from legion_tpu.config import Config, DatasetConfig, ModelConfig, SamplerConfig, TrainConfig
+    from legion_tpu.data.synthetic import random_power_law_graph
+    from legion_tpu.models import build_model
+    from legion_tpu.parallel.dp import make_dp_train_step
+    from legion_tpu.parallel.mesh import make_mesh
+    from legion_tpu.sampling.block import frontier_caps
+    from legion_tpu.sampling.sampler import DeviceGraph, gather_features, sample_batch
+    from legion_tpu.train.train_state import create_train_state
+
+    data = random_power_law_graph(num_nodes=100_000, avg_degree=15,
+                                  feature_dim=64, num_classes=32, seed=0)
+    b, fanouts = 512, (10, 5)
+    cfg = Config(dataset=DatasetConfig(num_classes=32),
+                 sampler=SamplerConfig(fanouts=fanouts, batch_size=b),
+                 model=ModelConfig(arch="sage", hidden_dim=128, num_layers=2,
+                                   dropout=0.0),
+                 train=TrainConfig(learning_rate=0.003))
+    caps = frontier_caps(b, fanouts)
+    graph = DeviceGraph.from_host(data.indptr, data.indices)
+    feats = jnp.asarray(np.asarray(data.features))
+    model = build_model("sage", 128, 32, 2, 0.0)
+
+    batch0 = jax.jit(sample_batch, static_argnums=(5, 6))(
+        jax.random.PRNGKey(0), graph, jnp.arange(b, dtype=jnp.int32),
+        jnp.full((), b, jnp.int32), jnp.zeros((b,), jnp.int32), fanouts, caps)
+    x0 = jax.jit(gather_features)(feats, batch0.frontier)
+    params = model.init(jax.random.PRNGKey(0),
+                        tuple(reversed(batch0.blocks)), x0,
+                        deterministic=True)["params"]
+
+    ndev = len(jax.devices())
+    results = {}
+    sizes = [k for k in (1, 2, 4, 8, 16) if k <= ndev]
+    ids = np.asarray(data.train_ids)
+    rng = np.random.default_rng(0)
+    for k in sizes:
+        mesh = make_mesh(k, cache_group_size=1)
+        step, _ = make_dp_train_step(cfg, model, caps, mesh)
+        state = create_train_state(
+            jax.tree_util.tree_map(jnp.copy, params), 0.003, 0)
+        total = k * b
+        seeds = jnp.asarray(rng.permutation(ids)[:total].astype(np.int32))
+        labels = jnp.asarray(np.asarray(data.labels)[np.asarray(seeds)])
+        sh = NamedSharding(mesh, P(("data", "cache")))
+        s = jax.device_put(seeds, sh)
+        l = jax.device_put(labels, sh)
+        nb = jnp.full((), b, jnp.int32)
+        state, m = step(state, graph, feats, s, nb, l)
+        _ = float(m["loss"])
+        t0 = time.perf_counter()
+        reps = 10
+        for _i in range(reps):
+            state, m = step(state, graph, feats, s, nb, l)
+        e = float(m["edges"]); _ = float(m["loss"])
+        dt = (time.perf_counter() - t0) / reps
+        results[k] = e / dt
+        print(f"{k} chips: {e / dt:.3e} edges/s", file=sys.stderr, flush=True)
+
+    base = results[sizes[0]]
+    effs = {k: results[k] / (base * k / sizes[0]) for k in sizes}
+    print(json.dumps({
+        "metric": "dp_scaling_edges_per_s",
+        "per_size": {str(k): round(v, 1) for k, v in results.items()},
+        "efficiency": {str(k): round(v, 3) for k, v in effs.items()},
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()
