@@ -31,8 +31,8 @@ NBUF = 8          # row DMAs kept in flight
 BLOCK_ROWS = 1024  # output rows per grid step (1-D i32 inputs need 1024-tiles)
 
 
-def _gather_kernel(ids_ref, table_hbm, out_ref, scratch, sems):
-    """Grid dim 0 walks BLOCK_ROWS-row output tiles. The tile's ids are
+def _gather_kernel(ids_ref, table_hbm, out_ref, scratch, sems, *, block_rows):
+    """Grid dim 0 walks block_rows-row output tiles. The tile's ids are
     pipelined into SMEM (blocked input); the table stays in HBM and is
     DMA'd row by row into a NBUF-deep VMEM ring."""
 
@@ -55,20 +55,21 @@ def _gather_kernel(ids_ref, table_hbm, out_ref, scratch, sems):
 
         nxt = r + NBUF
 
-        @pl.when(nxt < BLOCK_ROWS)
+        @pl.when(nxt < block_rows)
         def _():
             row_dma(slot, nxt).start()
 
         return 0
 
-    jax.lax.fori_loop(0, BLOCK_ROWS, body, 0)
+    jax.lax.fori_loop(0, block_rows, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("block_rows",))
 def gather_rows_pallas(table: jnp.ndarray, ids: jnp.ndarray,
                        block_rows: int = BLOCK_ROWS) -> jnp.ndarray:
-    """out[i] = table[ids[i]] (zeros for ids < 0). ids length must be a
-    multiple of BLOCK_ROWS (pad with -1).
+    """out[i] = table[ids[i]] (zeros for ids < 0). ids whose length is not
+    a multiple of block_rows are padded with -1 internally (callers on the
+    hot path should pre-pad to avoid the copy).
 
     The row dim must be 128-lane aligned for HBM memref slicing; tables
     with other widths are zero-padded (callers holding the table hot
@@ -76,14 +77,17 @@ def gather_rows_pallas(table: jnp.ndarray, ids: jnp.ndarray,
     """
     m = ids.shape[0]
     d = table.shape[1]
-    assert m % block_rows == 0, f"ids length {m} not multiple of {block_rows}"
+    if m % block_rows != 0:
+        mpad = (m + block_rows - 1) // block_rows * block_rows
+        ids = jnp.pad(ids, (0, mpad - m), constant_values=-1)
+        return gather_rows_pallas(table, ids, block_rows)[:m]
     if d % 128 != 0:
         dpad = (d + 127) // 128 * 128
         table = jnp.pad(table, ((0, 0), (0, dpad - d)))
         return gather_rows_pallas(table, ids, block_rows)[:, :d]
 
     return pl.pallas_call(
-        _gather_kernel,
+        functools.partial(_gather_kernel, block_rows=block_rows),
         grid=(m // block_rows,),
         in_specs=[
             pl.BlockSpec((block_rows,), lambda i: (i,),
