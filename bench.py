@@ -68,8 +68,11 @@ def load_or_gen():
 
 
 def probe_caps(graph, seeds, labels):
-    """Measure realized per-hop frontier sizes, with disk memoization."""
-    memo = os.path.join(CACHE_DIR, f"caps_{NODES}_{DEG}_{BATCH}.json")
+    """Measure realized per-hop frontier sizes, with disk memoization.
+
+    Intermediate hops are tightened from observation (they dedup); the
+    last cap is the exact identity-append extent (dedup_last=False)."""
+    memo = os.path.join(CACHE_DIR, f"caps_nd_{NODES}_{DEG}_{BATCH}.json")
     if os.path.exists(memo):
         caps = tuple(json.load(open(memo)))
         log(f"observed caps from cache: {caps}")
@@ -84,7 +87,8 @@ def probe_caps(graph, seeds, labels):
         counts = [int(b.num_seeds)] + [int(blk.num_src) for blk in b.blocks]
         mx = np.maximum(mx, counts)
     from legion_tpu.cache.hotness import observed_caps
-    caps = observed_caps(mx, slack=1.2, align=128)
+    caps = observed_caps(mx, slack=1.2, align=128,
+                         last_exact_fanout=FANOUTS[-1])
     log(f"cap probe {time.time() - t0:.1f}s: observed {mx.tolist()} "
         f"-> caps {caps} (loose {loose})")
     json.dump(list(caps), open(memo, "w"))
@@ -99,8 +103,10 @@ def run_variant(agg, graph, feats, cfg, caps, seeds, labels):
                  dropout=cfg.model.dropout, agg=agg)
     epoch_scan = make_step_fns(cfg, model, caps).epoch_scan
 
+    import functools
     key = jax.random.PRNGKey(0)
-    batch = jax.jit(sample_batch, static_argnums=(5, 6))(
+    batch = jax.jit(functools.partial(sample_batch, dedup_last=False),
+                    static_argnums=(5, 6))(
         key, graph, seeds[0], jnp.full((), BATCH, jnp.int32), labels[0],
         tuple(cfg.sampler.fanouts), caps)
     x = jax.jit(gather_features)(feats, batch.frontier)

@@ -79,12 +79,20 @@ def presample_hotness(key: jax.Array, graph: DeviceGraph,
     return HotnessResult(node_hot, edge_hot, maxf, max_hop)
 
 
-def observed_caps(max_per_hop, slack: float = 1.2,
-                  align: int = 8) -> Tuple[int, ...]:
+def observed_caps(max_per_hop, slack: float = 1.2, align: int = 8,
+                  last_exact_fanout: int | None = None) -> Tuple[int, ...]:
     """Tightened static frontier caps from presampling observation —
     the reference's 1.2 x MaxIdNum buffer sizing (src/Server.cu:275)
-    turned into recompile-with-tighter-shapes."""
+    turned into recompile-with-tighter-shapes.
+
+    last_exact_fanout: set to fanouts[-1] when the consumer samples with
+    dedup_last=False — the final cap is then the exact identity-append
+    extent caps[-2]*(1+fanout), not an observed (deduped) count.
+    """
     import numpy as np
     m = np.asarray(max_per_hop)
     caps = np.ceil(m * slack / align).astype(int) * align
-    return tuple(int(c) for c in np.maximum.accumulate(caps))
+    caps = np.maximum.accumulate(caps)
+    if last_exact_fanout is not None:
+        caps[-1] = caps[-2] * (1 + last_exact_fanout)
+    return tuple(int(c) for c in caps)

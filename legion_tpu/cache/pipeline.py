@@ -51,8 +51,12 @@ class CachedTrainer:
         fanouts = tuple(cfg.sampler.fanouts)
 
         def sample_plan(key, graph, seeds, num_seeds, labels):
+            # dedup_last=True always: with host-resident features every
+            # duplicate frontier row costs host->device bytes, so dedup
+            # pays here (the reference's PCIe-saving rationale) even
+            # though the HBM path elides it.
             batch = sample_batch(key, graph, seeds, num_seeds, labels,
-                                 fanouts, self.caps)
+                                 fanouts, self.caps, dedup_last=True)
             plan = cache.plan(batch.frontier)
             return batch, plan
 

@@ -60,6 +60,15 @@ class SamplerConfig:
     # (src/Server.cu:273-282). None => use the loose combinatorial bound.
     observed_cap_slack: float = 1.2
     drop_last: bool = True              # train_step = (min-1)/batch, src/CUDA_IPC_Service.cu:88
+    # Dedup the FINAL hop's frontier. False (default) is the TPU-native
+    # fast path: the last hop is identity-appended (sampler.append_frontier)
+    # — dedup sorts cost more than the duplicate HBM feature gathers they
+    # save. Set True when features are host-resident/cached, where each
+    # duplicate row costs host<->device bytes (the reference's PCIe-saving
+    # rationale for dedup, src/Kernels.cu:412-421). Requires
+    # caps[-1] == caps[-2]*(1+fanouts[-1]) exactly (frontier_caps yields
+    # this; only intermediate caps may be tightened from observation).
+    dedup_last: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

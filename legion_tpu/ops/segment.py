@@ -20,8 +20,18 @@ from legion_tpu.sampling.block import Block
 
 
 def fanout_gather_sum(h_src: jnp.ndarray, block: Block) -> jnp.ndarray:
-    """(S, D), Block -> (dst_cap, D): sum of sampled-neighbor features."""
-    rows = jnp.take(h_src, block.nbr_pos, axis=0)          # (P, f, D)
+    """(S, D), Block -> (dst_cap, D): sum of sampled-neighbor features.
+
+    Identity-layout blocks (sampler.append_frontier) skip the random
+    gather entirely: their src rows are a contiguous slice of h_src in
+    (dst, slot) order, so the "gather" is a reshape.
+    """
+    p, f = block.nbr_pos.shape
+    if block.identity_offset is not None:
+        off = block.identity_offset
+        rows = h_src[off:off + p * f].reshape(p, f, -1)
+    else:
+        rows = jnp.take(h_src, block.nbr_pos, axis=0)      # (P, f, D)
     m = block.nbr_mask[..., None].astype(h_src.dtype)
     return jnp.sum(rows * m, axis=1)
 
@@ -55,7 +65,14 @@ def block_dst_degree(block: Block) -> jnp.ndarray:
 
 def block_src_out_degree(block: Block, src_cap: int) -> jnp.ndarray:
     """(src_cap,) out-degree of each src within the block (needed by the
-    GCN 'both' norm). One scatter-add of ones — small (int per node)."""
+    GCN 'both' norm). One scatter-add of ones — small (int per node).
+    Identity-layout blocks need no scatter: each appended row has exactly
+    one edge (its own slot) and rows before the offset have none."""
+    if block.identity_offset is not None:
+        off = block.identity_offset
+        flat = block.nbr_mask.astype(jnp.int32).reshape(-1)
+        assert off + flat.shape[0] == src_cap
+        return jnp.concatenate([jnp.zeros((off,), jnp.int32), flat])
     ones = block.nbr_mask.astype(jnp.int32).reshape(-1)
     pos = jnp.where(block.nbr_mask, block.nbr_pos, src_cap).reshape(-1)
     deg = jnp.zeros((src_cap,), jnp.int32)

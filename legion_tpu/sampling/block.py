@@ -22,7 +22,7 @@ scatter-adds).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import struct
@@ -57,8 +57,17 @@ class Block:
     nbr_pos: jnp.ndarray
     # (dst_cap, fanout) bool: slot holds a real sampled edge.
     nbr_mask: jnp.ndarray
-    num_src: jnp.ndarray      # () int32 valid src nodes
+    num_src: jnp.ndarray      # () int32 valid src extent (see identity_offset)
     num_dst: jnp.ndarray      # () int32 valid dst nodes
+    # Static layout promise for un-deduped hops (sampler.append_frontier):
+    # when set, nbr_pos[d, j] == identity_offset + d*fanout + j identically,
+    # so aggregation is a contiguous slice+reshape — no random gather and
+    # (because such blocks are only ever the LAST hop, whose src features
+    # carry no gradient) no backward scatter. num_src is then the occupied
+    # extent identity_offset + dst_cap*fanout, which may exceed the count
+    # of valid rows (invalid slots leave -1 holes in the frontier).
+    identity_offset: Optional[int] = struct.field(pytree_node=False,
+                                                  default=None)
 
     @property
     def dst_cap(self) -> int:

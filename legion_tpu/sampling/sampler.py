@@ -163,6 +163,41 @@ def grow_frontier(frontier_prev: jnp.ndarray, num_prev: jnp.ndarray,
     return frontier_new, num_new_total, block
 
 
+def append_frontier(frontier_prev: jnp.ndarray, num_prev: jnp.ndarray,
+                    neighbors: jnp.ndarray, cap_new: int
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, Block]:
+    """Grow the frontier WITHOUT dedup: every sampled (dst, slot) edge gets
+    its own appended src row (invalid slots leave -1 holes).
+
+    Used for the LAST hop, where dedup is a net loss on TPU: the dedup
+    sorts cost ~20ms/1.4M keys while the duplicate feature-row gathers
+    they avoid cost ~7ms (row-rate-bound gather, tools/bench_gather.py) —
+    and with the identity layout the first model layer's aggregation
+    becomes a contiguous reshape instead of a 1.4M-row random gather.
+    The reference has no analog (its dedup exists to save PCIe bytes,
+    ``src/Kernels.cu:412-421``; the cached/host-feature path here keeps
+    dedup for exactly that reason — see CachedTrainer).
+
+    cap_new must equal prev_cap + dst_cap*fanout (exact, static).
+    Returns (frontier_new, num_new=extent, block with identity_offset).
+    """
+    p, fanout = neighbors.shape
+    prev_cap = frontier_prev.shape[0]
+    assert cap_new == prev_cap + p * fanout, (
+        f"append cap {cap_new} != {prev_cap} + {p}*{fanout}")
+    nbr_mask = neighbors >= 0
+    frontier_new = jnp.concatenate(
+        [frontier_prev, jnp.where(nbr_mask, neighbors, -1).reshape(-1)])
+    extent = jnp.full((), cap_new, jnp.int32)
+    nbr_pos = (prev_cap
+               + jax.lax.broadcasted_iota(jnp.int32, (p, fanout), 0) * fanout
+               + jax.lax.broadcasted_iota(jnp.int32, (p, fanout), 1))
+    block = Block(nbr_pos=nbr_pos, nbr_mask=nbr_mask,
+                  num_src=extent, num_dst=num_prev.astype(jnp.int32),
+                  identity_offset=prev_cap)
+    return frontier_new, extent, block
+
+
 def grow_frontier_scatter(frontier_prev: jnp.ndarray, num_prev: jnp.ndarray,
                           neighbors: jnp.ndarray, cap_new: int,
                           pos_map: jnp.ndarray, stamp: jnp.ndarray,
@@ -224,7 +259,8 @@ def grow_frontier_scatter(frontier_prev: jnp.ndarray, num_prev: jnp.ndarray,
 def sample_batch(key: jax.Array, graph: DeviceGraph, seeds: jnp.ndarray,
                  num_seeds: jnp.ndarray, labels: jnp.ndarray,
                  fanouts: Sequence[int],
-                 caps: Sequence[int] | None = None) -> SampledBatch:
+                 caps: Sequence[int] | None = None,
+                 dedup_last: bool = True) -> SampledBatch:
     """Full multi-hop sampling of one mini-batch (one jitted call).
 
     seeds: (seed_cap,) int32 padded with -1; ids must be unique within the
@@ -234,6 +270,10 @@ def sample_batch(key: jax.Array, graph: DeviceGraph, seeds: jnp.ndarray,
     Equivalent to the reference per-batch op chain BatchGenerator ->
     (RandomSampler x hops) -> construct_graph (``src/Server.cu:198-207``),
     minus feature extraction which is a separate stage (cache subsystem).
+
+    dedup_last=False skips dedup on the final hop (see append_frontier) —
+    the fast path for HBM-resident features; requires
+    caps[-1] == caps[-2] * (1 + fanouts[-1]) exactly.
     """
     if caps is None:
         caps = frontier_caps(seeds.shape[0], fanouts)
@@ -245,7 +285,12 @@ def sample_batch(key: jax.Array, graph: DeviceGraph, seeds: jnp.ndarray,
     for k, fanout in enumerate(fanouts):
         key, sub = jax.random.split(key)
         nbrs = sample_neighbors(sub, graph, frontier, fanout)
-        frontier, num, blk = grow_frontier(frontier, num, nbrs, caps[k + 1])
+        if k == len(fanouts) - 1 and not dedup_last:
+            frontier, num, blk = append_frontier(frontier, num, nbrs,
+                                                 caps[k + 1])
+        else:
+            frontier, num, blk = grow_frontier(frontier, num, nbrs,
+                                               caps[k + 1])
         blocks.append(blk)
 
     return SampledBatch(

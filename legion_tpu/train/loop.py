@@ -89,6 +89,7 @@ def make_step_fns(cfg: Config, model, caps,
     all-reduce analog (reference ``legion_graphsage.py:140-141``).
     """
     fanouts = tuple(cfg.sampler.fanouts)
+    dedup_last = cfg.sampler.dedup_last
     fetch = feature_fetch or (lambda feats, frontier: gather_features(feats, frontier))
     is_lp = cfg.model.arch == "lp_sage"
 
@@ -119,7 +120,7 @@ def make_step_fns(cfg: Config, model, caps,
         key = shard_key(jax.random.fold_in(state.rng, state.step))
         skey, dkey = jax.random.split(key)
         batch = sample_batch(skey, graph, seeds, num_seeds, labels,
-                             fanouts, caps)
+                             fanouts, caps, dedup_last=dedup_last)
         loss, grads = jax.value_and_grad(loss_fn)(
             state.params, batch, feats, dkey)
         if shard_axes:
@@ -137,7 +138,7 @@ def make_step_fns(cfg: Config, model, caps,
     def eval_step(params, graph: DeviceGraph, feats, seeds, num_seeds,
                   labels, key):
         batch = sample_batch(shard_key(key), graph, seeds, num_seeds,
-                             labels, fanouts, caps)
+                             labels, fanouts, caps, dedup_last=dedup_last)
         out = forward(params, batch, feats, None, deterministic=True)
         out = out[: batch.seed_cap]
         mask = batch.seed_mask()

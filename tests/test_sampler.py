@@ -143,3 +143,55 @@ def test_gather_features(small_graph):
     out = np.asarray(gather_features(feats, frontier))
     np.testing.assert_allclose(out[0], small_graph.features[3])
     np.testing.assert_allclose(out[2], 0.0)
+
+
+def test_append_frontier_identity_layout():
+    from legion_tpu.sampling.sampler import append_frontier
+    frontier = jnp.array([10, 20, -1, -1], jnp.int32)
+    nbrs = jnp.array([[30, 10, 30], [20, 40, -1]], jnp.int32)
+    fnew, num, blk = append_frontier(frontier, jnp.int32(2), nbrs, 10)
+    fnew = np.asarray(fnew)
+    assert int(num) == 10                        # extent, not count
+    assert fnew[:4].tolist() == [10, 20, -1, -1]  # prefix untouched
+    assert fnew[4:].tolist() == [30, 10, 30, 20, 40, -1]
+    assert blk.identity_offset == 4
+    pos = np.asarray(blk.nbr_pos)
+    assert pos.tolist() == [[4, 5, 6], [7, 8, 9]]
+    assert np.asarray(blk.nbr_mask).tolist() == [[True, True, True],
+                                                 [True, True, False]]
+
+
+def test_sample_batch_dedup_last_false_semantics(small_graph):
+    """Same PRNG key => identical sampled multisets of (dst, neighbor)
+    edges whether or not the last hop dedups; decoded global edges match."""
+    g = _dev_graph(small_graph)
+    b, fanouts = 32, (4, 3)
+    caps = frontier_caps(b, fanouts)
+    seeds_np = np.unique(np.asarray(small_graph.train_ids)[:b]).astype(np.int32)
+    seeds = np.full((b,), -1, np.int32)
+    seeds[:seeds_np.shape[0]] = seeds_np
+    args = (jax.random.PRNGKey(11), g, jnp.asarray(seeds),
+            jnp.full((), seeds_np.shape[0], jnp.int32),
+            jnp.zeros((b,), jnp.int32), fanouts, caps)
+    bd = sample_batch(*args, dedup_last=True)
+    ba = sample_batch(*args, dedup_last=False)
+
+    # hop-1 identical by construction
+    assert (np.asarray(bd.blocks[0].nbr_pos) ==
+            np.asarray(ba.blocks[0].nbr_pos)).all()
+
+    def decoded(batch):
+        frontier = np.asarray(batch.frontier)
+        blk = batch.blocks[-1]
+        pos, mask = np.asarray(blk.nbr_pos), np.asarray(blk.nbr_mask)
+        return {(d, f): frontier[pos[d, f]]
+                for d in range(pos.shape[0]) for f in range(pos.shape[1])
+                if mask[d, f]}
+
+    assert decoded(bd) == decoded(ba)
+    # appended region of the no-dedup frontier is the raw neighbor grid
+    blk = ba.blocks[-1]
+    assert blk.identity_offset == caps[-2]
+    f = np.asarray(ba.frontier)
+    assert ba.frontier.shape[0] == caps[-2] + blk.dst_cap * blk.fanout
+    assert (f[caps[-2]:][np.asarray(blk.nbr_mask).reshape(-1)] >= 0).all()
