@@ -151,8 +151,9 @@ def main():
                           dropout=0.5),
         train=TrainConfig(learning_rate=0.003),
     )
+    from legion_tpu.data.format import pad_feature_dim
     graph = DeviceGraph.from_host(data.indptr, data.indices)
-    feats = jnp.asarray(np.asarray(data.features))
+    feats = jnp.asarray(pad_feature_dim(np.asarray(data.features)))
 
     rng = np.random.default_rng(0)
     ids = np.asarray(data.train_ids)

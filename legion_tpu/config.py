@@ -43,6 +43,10 @@ class DatasetConfig:
     feature_placement: str = "hbm"
     # Where topology lives: "hbm" or "host" (host CSR + HBM hot sub-CSR).
     topology_placement: str = "hbm"
+    # Zero-pad the feature dim to this column multiple before device
+    # placement (0 = off). 128 f32 columns = 512B rows, the random-gather
+    # sweet spot on TPU (tools/bench_gather.py). Inert for numerics.
+    feature_pad_align: int = 128
 
 
 @dataclasses.dataclass(frozen=True)

@@ -39,22 +39,91 @@ class DeviceGraph:
     topology at 2^31 edges — graphs beyond that use the host/topology-cache
     path (reference keeps the full CSR zero-copy in pinned host memory for
     the same reason, ``src/GPUGraphStore.cu:264-266``).
+
+    ``indices`` is zero-padded to a 128-multiple so it can be viewed as
+    (lines, 128) int32 = 512-byte HBM lines for windowed sampling;
+    ``big_deg_count`` statically bounds how many nodes exceed the
+    window (they take the per-edge tail path). 0 compiles the tail out.
     """
 
     indptr: jnp.ndarray    # (N+1,) int32
-    indices: jnp.ndarray   # (E,) int32
+    indices: jnp.ndarray   # (E_pad,) int32, E_pad % 128 == 0
+    big_deg_count: int = struct.field(pytree_node=False, default=-1)
 
     @property
     def num_nodes(self) -> int:
         return self.indptr.shape[0] - 1
 
     @classmethod
-    def from_host(cls, indptr, indices) -> "DeviceGraph":
+    def from_host(cls, indptr, indices,
+                  window_lines: int = 2) -> "DeviceGraph":
         import numpy as np
         assert int(indptr[-1]) < 2 ** 31, (
             "on-device CSR needs < 2^31 edges; use host topology placement")
+        indices = np.asarray(indices)
+        e = indices.shape[0]
+        epad = (e + 127) // 128 * 128
+        if epad != e:
+            indices = np.pad(indices, (0, epad - e))
+        deg = np.diff(np.asarray(indptr))
+        # worst case for a window: run starts at lane 127 of its first line
+        big = int((deg > window_lines * 128 - 127).sum())
         return cls(indptr=jnp.asarray(np.asarray(indptr), dtype=jnp.int32),
-                   indices=jnp.asarray(np.asarray(indices), dtype=jnp.int32))
+                   indices=jnp.asarray(indices, dtype=jnp.int32),
+                   big_deg_count=big)
+
+
+# Adjacency window width for line-granular sampling, in 512B HBM lines
+# (128 int32 lanes each). Nodes whose CSR run can straddle more than
+# WINDOW_LINES lines take the compacted per-edge tail path.
+WINDOW_LINES = 2
+
+
+def _draws(key, deg, p, fanout):
+    """Uniform-with-replacement draw offsets in [0, deg) per (node, slot);
+    0 where deg == 0 (masked by the caller)."""
+    u = jax.random.uniform(key, (p, fanout), dtype=jnp.float32)
+    return jnp.minimum((u * deg[:, None].astype(jnp.float32)).astype(jnp.int32),
+                       jnp.maximum(deg[:, None] - 1, 0))
+
+
+def _select_lanes(win: jnp.ndarray, off: jnp.ndarray,
+                  max_id: int) -> jnp.ndarray:
+    """out[p, f] = win[p, off[p, f]] via one-hot MXU contraction — the
+    fastest TPU lowering for a per-row lane select (measured 6.3ms vs
+    27ms for take_along_axis and 12ms for a binary mux tree at 142k x 10
+    x 256). f32 is exact for values < 2^24; larger ids split into two
+    12-bit-exact halves and recombine."""
+    lanes = win.shape[1]
+    oh = jax.nn.one_hot(off, lanes, dtype=jnp.float32)      # (P, f, lanes)
+    if max_id < (1 << 24):
+        v = jnp.einsum("pk,pfk->pf", win.astype(jnp.float32), oh)
+        return v.astype(jnp.int32)
+    hi = (win >> 12).astype(jnp.float32)
+    lo = (win & 0xFFF).astype(jnp.float32)
+    vhi = jnp.einsum("pk,pfk->pf", hi, oh).astype(jnp.int32)
+    vlo = jnp.einsum("pk,pfk->pf", lo, oh).astype(jnp.int32)
+    return (vhi << 12) | vlo
+
+
+def sample_neighbors_per_edge(key: jax.Array, graph: DeviceGraph,
+                              frontier: jnp.ndarray,
+                              fanout: int) -> jnp.ndarray:
+    """One 4-byte HBM gather per sampled edge — the direct analog of the
+    reference's per-thread reads (``src/Kernels.cu:399-411``). Kept as
+    the fallback for graphs built without window metadata and as the
+    oracle for the windowed path (bit-identical draws)."""
+    p = frontier.shape[0]
+    valid = frontier >= 0
+    ids = jnp.where(valid, frontier, 0)
+    start = graph.indptr[ids]                       # (P,)
+    deg = graph.indptr[ids + 1] - start             # (P,)
+    off = _draws(key, deg, p, fanout)
+    addr = start[:, None] + off
+    nbr = graph.indices[jnp.clip(addr, 0, graph.indices.shape[0] - 1)]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (p, fanout), 1)
+    ok = valid[:, None] & (slot < deg[:, None]) & (deg[:, None] > 0)
+    return jnp.where(ok, nbr, -1)
 
 
 def sample_neighbors(key: jax.Array, graph: DeviceGraph,
@@ -64,18 +133,51 @@ def sample_neighbors(key: jax.Array, graph: DeviceGraph,
     frontier: (P,) int32 global ids, -1 padding. Returns (P, fanout) int32
     neighbor ids with -1 where the slot is invalid (padded source, or slot
     index >= degree — reference semantics, src/Kernels.cu:399-400).
+
+    TPU strategy: random row gathers are descriptor-rate-bound, so one
+    4-byte gather per edge wastes ~99% of each 512B HBM transaction.
+    Instead each node's CSR run is fetched as WINDOW_LINES aligned 512B
+    lines (one descriptor per line per NODE) and the sampled lanes are
+    selected on-chip via a one-hot MXU contraction — 3.6x faster at the
+    products-scale bench shapes. Nodes whose run can straddle more than
+    the window (deg > WINDOW_LINES*128-127) go through a compacted
+    per-edge tail whose static size is the graph-wide count of such
+    nodes — exact because frontiers are deduped, so each can appear at
+    most once. Draws are bit-identical to sample_neighbors_per_edge.
     """
+    if graph.big_deg_count < 0 or graph.indices.shape[0] % 128 != 0:
+        return sample_neighbors_per_edge(key, graph, frontier, fanout)
+
     p = frontier.shape[0]
+    lanes = WINDOW_LINES * 128
     valid = frontier >= 0
     ids = jnp.where(valid, frontier, 0)
-    start = graph.indptr[ids]                       # (P,)
-    deg = graph.indptr[ids + 1] - start             # (P,)
+    start = graph.indptr[ids]
+    deg = graph.indptr[ids + 1] - start
+    draw = _draws(key, deg, p, fanout)
 
-    u = jax.random.uniform(key, (p, fanout), dtype=jnp.float32)
-    off = jnp.minimum((u * deg[:, None].astype(jnp.float32)).astype(jnp.int32),
-                      jnp.maximum(deg[:, None] - 1, 0))
-    addr = start[:, None] + off
-    nbr = graph.indices[jnp.clip(addr, 0, graph.indices.shape[0] - 1)]
+    indices2d = graph.indices.reshape(-1, 128)
+    line0 = start >> 7
+    lidx = line0[:, None] + jnp.arange(WINDOW_LINES, dtype=jnp.int32)
+    win = jnp.take(indices2d, lidx, axis=0).reshape(p, lanes)
+    off = (start & 127)[:, None] + draw             # < lanes iff covered
+    nbr = _select_lanes(win, jnp.minimum(off, lanes - 1), graph.num_nodes)
+
+    tail_cap = min(p, (graph.big_deg_count + 7) // 8 * 8)
+    if tail_cap > 0:
+        covered = (start & 127) + deg <= lanes
+        t = valid & jnp.logical_not(covered)
+        tpos = jnp.cumsum(t.astype(jnp.int32)) - 1
+        tidx = jnp.where(t, jnp.minimum(tpos, tail_cap - 1), tail_cap)
+        tstart = jnp.zeros((tail_cap,), jnp.int32).at[tidx].set(
+            start, mode="drop")
+        tdraw = jnp.zeros((tail_cap, fanout), jnp.int32).at[tidx].set(
+            draw, mode="drop")
+        taddr = tstart[:, None] + tdraw
+        tnbr = graph.indices[jnp.clip(taddr, 0,
+                                      graph.indices.shape[0] - 1)]
+        back = jnp.take(tnbr, jnp.clip(tpos, 0, tail_cap - 1), axis=0)
+        nbr = jnp.where(t[:, None], back, nbr)
 
     slot = jax.lax.broadcasted_iota(jnp.int32, (p, fanout), 1)
     ok = valid[:, None] & (slot < deg[:, None]) & (deg[:, None] > 0)

@@ -208,7 +208,10 @@ class Trainer:
         self.num_shards = num_shards
 
         self.graph = DeviceGraph.from_host(data.indptr, data.indices)
-        self.features = jnp.asarray(np.asarray(data.features), jnp.float32)
+        from legion_tpu.data.format import pad_feature_dim
+        self.features = jnp.asarray(
+            pad_feature_dim(np.asarray(data.features, np.float32),
+                            cfg.dataset.feature_pad_align or 1))
 
         self.shards_train = shard_node_set(data.train_ids, num_shards)
         self.shards_valid = shard_node_set(data.valid_ids, num_shards)
@@ -272,7 +275,7 @@ class Trainer:
         # exact byte accounting (PCM-counter replacement, SURVEY.md §5):
         # every step gathers frontier_cap feature rows from HBM
         feat_bytes = (self.plan.train_steps * self.caps[-1]
-                      * self.data.feature_dim * 4)
+                      * self.features.shape[1] * 4)
         rec = {"epoch": epoch, "loss": float(losses[-1]),
                "mean_loss": float(losses.mean()),
                "epoch_s": dt, "edges_per_s": float(jax.device_get(edges)) / dt,

@@ -195,3 +195,53 @@ def test_sample_batch_dedup_last_false_semantics(small_graph):
     f = np.asarray(ba.frontier)
     assert ba.frontier.shape[0] == caps[-2] + blk.dst_cap * blk.fanout
     assert (f[caps[-2]:][np.asarray(blk.nbr_mask).reshape(-1)] >= 0).all()
+
+
+def test_windowed_matches_per_edge(small_graph):
+    """Windowed (line-gather + one-hot select) sampling must be
+    bit-identical to the per-edge gather for the same key."""
+    from legion_tpu.sampling.sampler import sample_neighbors_per_edge
+    g = _dev_graph(small_graph)
+    frontier = jnp.asarray(
+        np.r_[np.arange(200), [-1, -1]].astype(np.int32))
+    for k in range(3):
+        a = sample_neighbors(jax.random.PRNGKey(k), g, frontier, 7)
+        b = sample_neighbors_per_edge(jax.random.PRNGKey(k), g, frontier, 7)
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_windowed_tail_path_exercised():
+    """Graph with hub nodes beyond the window: tail fallback must still
+    be bit-identical to per-edge sampling and big_deg_count must see the
+    hubs."""
+    from legion_tpu.data.synthetic import random_power_law_graph
+    from legion_tpu.sampling.sampler import (WINDOW_LINES,
+                                             sample_neighbors_per_edge)
+    rng = np.random.default_rng(0)
+    n, hub_deg = 3000, 700
+    # 5 hubs with deg 700 (> WINDOW_LINES*128-129), rest deg ~20
+    deg = rng.integers(1, 40, size=n)
+    deg[:5] = hub_deg
+    indptr = np.zeros(n + 1, np.int64)
+    indptr[1:] = np.cumsum(deg)
+    indices = rng.integers(0, n, size=indptr[-1]).astype(np.int32)
+    from legion_tpu.sampling.sampler import DeviceGraph
+    g = DeviceGraph.from_host(indptr, indices)
+    assert g.big_deg_count >= 5
+    frontier = jnp.asarray(np.r_[np.arange(5), rng.permutation(n)[:100],
+                                 [-1]].astype(np.int32))
+    a = sample_neighbors(jax.random.PRNGKey(3), g, frontier, 9)
+    b = sample_neighbors_per_edge(jax.random.PRNGKey(3), g, frontier, 9)
+    assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_select_lanes_large_ids():
+    """One-hot lane select must be exact for ids >= 2^24 (hi/lo split)."""
+    from legion_tpu.sampling.sampler import _select_lanes
+    rng = np.random.default_rng(1)
+    win = rng.integers(0, 2**31 - 1, size=(64, 256)).astype(np.int32)
+    off = rng.integers(0, 256, size=(64, 5)).astype(np.int32)
+    out = np.asarray(_select_lanes(jnp.asarray(win), jnp.asarray(off),
+                                   max_id=2**31 - 2))
+    want = np.take_along_axis(win, off, axis=1)
+    assert (out == want).all()
