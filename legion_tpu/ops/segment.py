@@ -28,6 +28,11 @@ def fanout_gather_sum(h_src: jnp.ndarray, block: Block) -> jnp.ndarray:
     """
     p, f = block.nbr_pos.shape
     if block.identity_offset is not None:
+        # XLA formulation on purpose: inside the jitted train step XLA
+        # fuses this reduce into the feature gather's consumer fusion so
+        # h_src's appended region never materializes; the Pallas kernel
+        # (ops.spmm_pallas, 3.3ms vs 6.1ms standalone) forces a
+        # materialization boundary and loses 4ms in the full step.
         off = block.identity_offset
         rows = h_src[off:off + p * f].reshape(p, f, -1)
     else:

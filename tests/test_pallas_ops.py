@@ -32,3 +32,34 @@ def test_gather_rows_pallas_interpret(m, d):
     want = table[np.clip(ids, 0, None)]
     want[ids < 0] = 0
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6)
+
+
+@pytest.mark.parametrize("p,f,d", [(64, 10, 128), (32, 3, 100)])
+def test_grouped_masked_sum(p, f, d):
+    """Pallas grouped sum (interpret mode) vs numpy; plus VJP."""
+    from legion_tpu.ops import spmm_pallas
+    from legion_tpu.ops.spmm_pallas import grouped_masked_sum
+    rng = np.random.default_rng(0)
+    x2 = rng.standard_normal((p * f, d)).astype(np.float32)
+    mask = rng.random((p, f)) > 0.3
+    want = (x2.reshape(p, f, d) * mask[..., None]).sum(1)
+
+    spmm_pallas.FORCE_PALLAS = True   # run the kernel (interpreted) off-TPU
+    try:
+        with _interpret():
+            out = grouped_masked_sum(jnp.asarray(x2), jnp.asarray(mask), f)
+        np.testing.assert_allclose(np.asarray(out), want,
+                                   rtol=1e-5, atol=1e-5)
+
+        # gradient: d/dx sum(out * w) = repeat(w) * mask
+        w = rng.standard_normal((p, d)).astype(np.float32)
+        def lossf(x):
+            return jnp.sum(grouped_masked_sum(x, jnp.asarray(mask), f)
+                           * jnp.asarray(w))
+        with _interpret():
+            g = jax.grad(lossf)(jnp.asarray(x2))
+        want_g = np.repeat(w, f, axis=0) * mask.reshape(-1)[:, None]
+        np.testing.assert_allclose(np.asarray(g), want_g,
+                                   rtol=1e-5, atol=1e-5)
+    finally:
+        spmm_pallas.FORCE_PALLAS = False
