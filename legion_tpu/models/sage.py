@@ -35,11 +35,25 @@ class SAGEConv(nn.Module):
     @nn.compact
     def __call__(self, block: Block, h_src: jnp.ndarray) -> jnp.ndarray:
         h_dst = h_src[: block.dst_cap]
-        h_neigh = AGGREGATORS[self.agg](h_src, block)
+        fc_neigh = nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
+                            name="fc_neigh")
+        # fc_neigh has no bias and mean is linear, so it commutes with
+        # aggregation exactly. When it NARROWS (out < in) and the block
+        # gathers (non-identity layout), transforming src activations
+        # first shrinks both the forward row gather and the backward
+        # scatter-add by in/out (e.g. 256->47: ~5x less random-access
+        # HBM traffic) for a few cheap extra MXU FLOPs. Identity-layout
+        # blocks aggregate via a fused reshape (no gather), where
+        # transform-first would only inflate the dense work.
+        narrower = self.out_dim < jnp.shape(h_src)[-1]
+        if (self.agg == "fanout" and block.identity_offset is None
+                and narrower):
+            h_neigh = AGGREGATORS[self.agg](fc_neigh(h_src), block)
+        else:
+            h_neigh = fc_neigh(AGGREGATORS[self.agg](h_src, block))
         out = (nn.Dense(self.out_dim, use_bias=True, dtype=self.dtype,
                         name="fc_self")(h_dst)
-               + nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
-                          name="fc_neigh")(h_neigh))
+               + h_neigh)
         return out
 
 
