@@ -63,6 +63,13 @@ class SamplerConfig:
     # reference sizes feature buffers at 1.2 x observed MaxIdNum
     # (src/Server.cu:273-282). None => use the loose combinatorial bound.
     observed_cap_slack: float = 1.2
+    # Probe realized frontier sizes at Trainer init (a few throwaway
+    # batches at loose caps) and tighten the static caps before the main
+    # compile. Skipped when the loose bound is below probe_caps_min_cap
+    # (tiny graphs/batches: not worth the extra compile).
+    probe_caps: bool = True
+    probe_caps_min_cap: int = 262144
+    probe_caps_batches: int = 3
     drop_last: bool = True              # train_step = (min-1)/batch, src/CUDA_IPC_Service.cu:88
     # Dedup the FINAL hop's frontier. False (default) is the TPU-native
     # fast path: the last hop is identity-appended (sampler.append_frontier)

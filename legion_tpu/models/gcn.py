@@ -28,11 +28,24 @@ class GraphConvLayer(nn.Module):
         src_deg = block_src_out_degree(block, h_src.shape[0]).astype(self.dtype)
         dst_deg = block_dst_degree(block).astype(self.dtype)
         h = h_src * (1.0 / jnp.sqrt(jnp.maximum(src_deg, 1.0)))[:, None]
-        agg = fanout_gather_sum(h, block)
+        dense = nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
+                         name="dense")
+        # The kernel (bias-free) commutes exactly with the masked sum and
+        # the per-row dst scaling, so when it NARROWS and the block
+        # gathers (non-identity layout), transform before aggregation to
+        # shrink the random row gather + backward scatter (same move as
+        # SAGEConv); bias is added after the norm either way.
+        if (self.out_dim < h_src.shape[-1]
+                and block.identity_offset is None):
+            agg = fanout_gather_sum(dense(h), block)
+        else:
+            agg = dense(fanout_gather_sum(h, block))
         agg = agg * (1.0 / jnp.sqrt(jnp.maximum(dst_deg, 1.0)))[:, None]
         # Zero-degree rows: both guards above give factor 1 on a zero sum,
         # so the result is exactly 0 (DGL allow_zero_in_degree behavior).
-        return nn.Dense(self.out_dim, use_bias=True, dtype=self.dtype)(agg)
+        bias = self.param("bias", nn.initializers.zeros, (self.out_dim,),
+                          jnp.float32)
+        return agg + bias.astype(self.dtype)
 
 
 class GCN(nn.Module):

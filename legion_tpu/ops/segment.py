@@ -82,3 +82,23 @@ def block_src_out_degree(block: Block, src_cap: int) -> jnp.ndarray:
     pos = jnp.where(block.nbr_mask, block.nbr_pos, src_cap).reshape(-1)
     deg = jnp.zeros((src_cap,), jnp.int32)
     return deg.at[pos].add(ones, mode="drop")
+
+
+def block_sddmm(h_dst: jnp.ndarray, h_src: jnp.ndarray,
+                block: Block) -> jnp.ndarray:
+    """Sampled-dense-dense matmul over a block's edges:
+    out[d, j] = <h_dst[d], h_src[block.nbr_pos[d, j]]> (0 where masked).
+
+    The edge-score primitive for attention/link models (GAT-style
+    alpha, LP edge scoring). The (dst, fanout) grid makes it a row
+    gather + batched contraction — no COO scatter. Identity-layout
+    blocks skip the gather (contiguous slice + reshape)."""
+    p, f = block.nbr_pos.shape
+    if block.identity_offset is not None:
+        off = block.identity_offset
+        rows = h_src[off:off + p * f].reshape(p, f, -1)
+    else:
+        rows = jnp.take(h_src, block.nbr_pos, axis=0)       # (P, f, D)
+    scores = jnp.einsum("pd,pfd->pf", h_dst[:p].astype(jnp.float32),
+                        rows.astype(jnp.float32))
+    return jnp.where(block.nbr_mask, scores, 0.0)

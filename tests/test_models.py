@@ -55,8 +55,8 @@ def test_gcnconv_matches_oracle(small_graph):
     p = params["params"]
     edges, num_src, num_dst = decode_block(batch, blk)
     ref = gcn_conv_np(h_src, edges, h_src.shape[0], blk.dst_cap,
-                      np.asarray(p["Dense_0"]["kernel"]),
-                      np.asarray(p["Dense_0"]["bias"]))
+                      np.asarray(p["dense"]["kernel"]),
+                      np.asarray(p["bias"]))
     np.testing.assert_allclose(out[:num_dst], ref[:num_dst],
                                rtol=1e-4, atol=1e-4)
 
@@ -121,8 +121,8 @@ def test_gcnconv_identity_block_matches_oracle(small_graph):
     p = params["params"]
     edges, _, num_dst = decode_block(batch, blk)
     ref = gcn_conv_np(h_src, edges, h_src.shape[0], blk.dst_cap,
-                      np.asarray(p["Dense_0"]["kernel"]),
-                      np.asarray(p["Dense_0"]["bias"]))
+                      np.asarray(p["dense"]["kernel"]),
+                      np.asarray(p["bias"]))
     np.testing.assert_allclose(out[:num_dst], ref[:num_dst],
                                rtol=1e-4, atol=1e-4)
 

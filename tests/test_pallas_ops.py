@@ -63,3 +63,22 @@ def test_grouped_masked_sum(p, f, d):
                                    rtol=1e-5, atol=1e-5)
     finally:
         spmm_pallas.FORCE_PALLAS = False
+
+
+def test_block_sddmm_matches_decode(small_graph=None):
+    from legion_tpu.ops.segment import block_sddmm
+    from legion_tpu.sampling.block import Block
+    rng = np.random.default_rng(2)
+    p, f, s, d = 6, 3, 12, 8
+    pos = rng.integers(0, s, size=(p, f)).astype(np.int32)
+    mask = rng.random((p, f)) > 0.3
+    h_src = rng.standard_normal((s, d)).astype(np.float32)
+    blk = Block(nbr_pos=jnp.asarray(pos), nbr_mask=jnp.asarray(mask),
+                num_src=jnp.int32(s), num_dst=jnp.int32(p))
+    out = np.asarray(block_sddmm(jnp.asarray(h_src[:p]),
+                                 jnp.asarray(h_src), blk))
+    for i in range(p):
+        for j in range(f):
+            want = h_src[i] @ h_src[pos[i, j]] if mask[i, j] else 0.0
+            np.testing.assert_allclose(out[i, j], want, rtol=1e-5,
+                                       atol=1e-6)

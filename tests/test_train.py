@@ -71,3 +71,41 @@ def test_checkpoint_roundtrip(small_graph, tmp_path):
     b = jax.tree_util.tree_leaves(tr2.state.params)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_trainer_cap_probe(small_graph):
+    """Probing tightens caps below the loose bound and training still
+    runs (probe gate forced on via min_cap=0)."""
+    import dataclasses
+    from legion_tpu.config import Config, DatasetConfig, ModelConfig, SamplerConfig, TrainConfig
+    from legion_tpu.sampling.block import frontier_caps
+    from legion_tpu.train.loop import Trainer
+    cfg = Config(
+        dataset=DatasetConfig(num_classes=int(small_graph.num_classes)),
+        sampler=SamplerConfig(fanouts=(8, 8), batch_size=64,
+                              eval_batch_size=32, probe_caps=True,
+                              probe_caps_min_cap=0),
+        model=ModelConfig(arch="sage", hidden_dim=16, num_layers=2),
+        train=TrainConfig(epochs=1))
+    tr = Trainer(cfg, small_graph)
+    loose = frontier_caps(64, (8, 8))
+    assert tr.caps[1] <= loose[1]
+    assert tr.caps[-1] == tr.caps[-2] * 9   # identity-append extent
+    rec = tr.train_one_epoch(0)
+    assert np.isfinite(rec["loss"])
+
+
+def test_trainer_three_hop(small_graph):
+    """3-hop sampling + 3-layer model end to end (fanouts generalize)."""
+    from legion_tpu.config import Config, DatasetConfig, ModelConfig, SamplerConfig, TrainConfig
+    from legion_tpu.train.loop import Trainer
+    cfg = Config(
+        dataset=DatasetConfig(num_classes=int(small_graph.num_classes)),
+        sampler=SamplerConfig(fanouts=(4, 3, 2), batch_size=32,
+                              eval_batch_size=16),
+        model=ModelConfig(arch="sage", hidden_dim=16, num_layers=3),
+        train=TrainConfig(epochs=1))
+    tr = Trainer(cfg, small_graph)
+    rec = tr.train_one_epoch(0)
+    acc = tr.evaluate("valid")
+    assert np.isfinite(rec["loss"]) and 0.0 <= acc <= 1.0

@@ -56,13 +56,14 @@ def main():
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "..", ".bench_cache")
     data = load_dataset(os.path.join(cache, "synth_2449029_50"), mmap=False)
-    capf = os.path.join(cache, f"caps_2449029_50_{BATCH}.json")
+    capf = os.path.join(cache, f"caps_nd_2449029_50_{BATCH}.json")
     caps = (tuple(json.load(open(capf))) if os.path.exists(capf)
             else frontier_caps(BATCH, FANOUTS))
     print(f"batch={BATCH} caps={caps}")
 
+    from legion_tpu.data.format import pad_feature_dim
     graph = DeviceGraph.from_host(data.indptr, data.indices)
-    feats = jnp.asarray(np.asarray(data.features))
+    feats = jnp.asarray(pad_feature_dim(np.asarray(data.features)))
     cfg = Config(dataset=DatasetConfig(num_classes=47),
                  sampler=SamplerConfig(fanouts=FANOUTS, batch_size=BATCH),
                  model=ModelConfig(arch="sage", hidden_dim=256, num_layers=2,
@@ -75,10 +76,13 @@ def main():
     nb = jnp.full((), BATCH, jnp.int32)
     key = jax.random.PRNGKey(0)
 
-    # full fused step
+    # full fused step (dedup_last per config: identity-append last hop)
+    import functools
     model = SAGE(hidden_dim=256, out_dim=47, num_layers=2, dropout=0.5)
     fns = make_step_fns(cfg, model, caps)
-    batch = jax.jit(sample_batch, static_argnums=(5, 6))(
+    batch = jax.jit(functools.partial(
+        sample_batch, dedup_last=cfg.sampler.dedup_last),
+        static_argnums=(5, 6))(
         key, graph, seeds, nb, labels, FANOUTS, caps)
     x = jax.jit(gather_features)(feats, batch.frontier)
     params = model.init(key, tuple(reversed(batch.blocks)), x,
