@@ -27,11 +27,17 @@ import numpy as np
 class CachePlan(NamedTuple):
     slot: jnp.ndarray        # (M,) int32 cache slot (valid where hit)
     hit: jnp.ndarray         # (M,) bool
-    miss_idx: jnp.ndarray    # (M,) int32 index into staged rows (valid where miss)
+    miss_idx: jnp.ndarray    # (M,) int32 UNCLAMPED miss rank (valid where miss;
+    #                          rows with rank >= miss_cap overflowed staging
+    #                          and combine_rows zeroes them)
     miss_ids: jnp.ndarray    # (miss_cap,) int32 global ids to stage, -1 pad
-    num_miss: jnp.ndarray    # () int32
+    num_miss: jnp.ndarray    # () int32 total misses (may exceed miss_cap)
     num_hit: jnp.ndarray     # () int32
     num_valid: jnp.ndarray   # () int32
+
+    def overflow(self) -> jnp.ndarray:
+        """Misses beyond staging capacity (their rows read as zeros)."""
+        return jnp.maximum(self.num_miss - self.miss_ids.shape[0], 0)
 
 
 class FeatureCache:
@@ -61,40 +67,61 @@ class FeatureCache:
                    miss_cap)
 
     # -- jitted pieces ------------------------------------------------------
+    #
+    # The pure functions take the cache arrays as ARGUMENTS. Do NOT close
+    # over self.hot_ids/self.rows inside a jitted function: closed-over
+    # device arrays are baked into the XLA program as literal constants
+    # (a ~1GB feature cache overflows compile-request limits and bloats
+    # every program). The bound methods below are trace-safe only when
+    # the instance arrays are passed through jit as inputs.
 
-    def plan(self, frontier: jnp.ndarray) -> CachePlan:
+    @staticmethod
+    def plan_ids(hot_ids: jnp.ndarray, frontier: jnp.ndarray,
+                 miss_cap: int) -> CachePlan:
         """Classify each frontier id as cache hit or miss and compact the
-        miss ids for host staging. Jit-safe."""
-        c = self.hot_ids.shape[0]
+        miss ids for host staging. Jit-safe; hot_ids sorted ascending."""
+        c = hot_ids.shape[0]
         valid = frontier >= 0
         ids = jnp.where(valid, frontier, 0)
-        pos = jnp.searchsorted(self.hot_ids, ids).astype(jnp.int32)
+        pos = jnp.searchsorted(hot_ids, ids).astype(jnp.int32)
         posc = jnp.clip(pos, 0, max(c - 1, 0))
-        hit = valid & (self.hot_ids[posc] == ids) if c > 0 else jnp.zeros_like(valid)
+        hit = valid & (hot_ids[posc] == ids) if c > 0 else jnp.zeros_like(valid)
         miss = valid & jnp.logical_not(hit)
 
         midx = jnp.cumsum(miss.astype(jnp.int32)) - 1
-        scatter = jnp.where(miss, jnp.minimum(midx, self.miss_cap - 1),
-                            self.miss_cap)
-        miss_ids = jnp.full((self.miss_cap,), -1, jnp.int32)
+        scatter = jnp.where(miss & (midx < miss_cap), midx, miss_cap)
+        miss_ids = jnp.full((miss_cap,), -1, jnp.int32)
         miss_ids = miss_ids.at[scatter].set(
             jnp.where(miss, frontier, -1), mode="drop")
         return CachePlan(
-            slot=posc, hit=hit, miss_idx=jnp.minimum(midx, self.miss_cap - 1),
+            slot=posc, hit=hit, miss_idx=midx,
             miss_ids=miss_ids,
             num_miss=jnp.sum(miss.astype(jnp.int32)),
             num_hit=jnp.sum(hit.astype(jnp.int32)),
             num_valid=jnp.sum(valid.astype(jnp.int32)))
 
-    def combine(self, plan: CachePlan, staged: jnp.ndarray,
-                frontier: jnp.ndarray) -> jnp.ndarray:
+    @staticmethod
+    def combine_rows(rows: jnp.ndarray, plan: CachePlan, staged: jnp.ndarray,
+                     frontier: jnp.ndarray) -> jnp.ndarray:
         """Merge cached rows and staged miss rows into the frontier's
         feature matrix. staged: (miss_cap, D) rows for plan.miss_ids.
-        Padded frontier slots (-1) come out zero."""
-        cached = jnp.take(self.rows, plan.slot, axis=0)
-        missed = jnp.take(staged, jnp.clip(plan.miss_idx, 0, None), axis=0)
+        Padded frontier slots (-1) and overflowed misses (rank beyond
+        staging capacity — see CachePlan.overflow) come out zero."""
+        cap = staged.shape[0]
+        cached = jnp.take(rows, plan.slot, axis=0)
+        in_range = plan.miss_idx < cap
+        missed = jnp.take(staged, jnp.clip(plan.miss_idx, 0, cap - 1),
+                          axis=0)
+        missed = missed * in_range[:, None].astype(missed.dtype)
         x = jnp.where(plan.hit[:, None], cached, missed)
         return x * (frontier >= 0)[:, None].astype(x.dtype)
+
+    def plan(self, frontier: jnp.ndarray) -> CachePlan:
+        return self.plan_ids(self.hot_ids, frontier, self.miss_cap)
+
+    def combine(self, plan: CachePlan, staged: jnp.ndarray,
+                frontier: jnp.ndarray) -> jnp.ndarray:
+        return self.combine_rows(self.rows, plan, staged, frontier)
 
     # -- host piece ---------------------------------------------------------
 

@@ -41,7 +41,10 @@ class HybridSampler:
         self.caps = tuple(caps)
         self.stats = {"hot": 0, "cold": 0, "host_bytes": 0}
 
-        self._jit_hot = jax.jit(topo.sample_hot, static_argnums=(2,))
+        # TopoCache is a NamedTuple pytree: pass it as a traced ARGUMENT
+        # (jitting the bound method would bake the sub-CSR arrays into
+        # the program as literal constants — GBs for large caches).
+        self._jit_hot = jax.jit(TopoCache.sample_hot, static_argnums=(3,))
         self._jit_grow = jax.jit(grow_frontier, static_argnums=(3,))
         self._jit_merge = jax.jit(
             lambda hot, cold, hit: jnp.where(hit[:, None], hot, cold))
@@ -56,7 +59,7 @@ class HybridSampler:
         blocks = []
         for k, fanout in enumerate(self.fanouts):
             key, sub = jax.random.split(key)
-            nbrs_hot, hit = self._jit_hot(sub, frontier, fanout)
+            nbrs_hot, hit = self._jit_hot(self.topo, sub, frontier, fanout)
             # host leg for the cache misses
             hit_np = np.asarray(hit)
             frontier_np = np.asarray(frontier)

@@ -50,19 +50,24 @@ class CachedTrainer:
         self.is_lp = cfg.model.arch == "lp_sage"
         fanouts = tuple(cfg.sampler.fanouts)
 
-        def sample_plan(key, graph, seeds, num_seeds, labels):
+        # Cache arrays (hot_ids, rows — up to GBs) are jit ARGUMENTS, not
+        # closures: closed-over device arrays become XLA program literals
+        # and a ~1GB cache overflows compile limits (see FeatureCache).
+        def sample_plan(key, graph, hot_ids, seeds, num_seeds, labels):
             # dedup_last=True always: with host-resident features every
             # duplicate frontier row costs host->device bytes, so dedup
             # pays here (the reference's PCIe-saving rationale) even
             # though the HBM path elides it.
             batch = sample_batch(key, graph, seeds, num_seeds, labels,
                                  fanouts, self.caps, dedup_last=True)
-            plan = cache.plan(batch.frontier)
+            plan = FeatureCache.plan_ids(hot_ids, batch.frontier,
+                                         cache.miss_cap)
             return batch, plan
 
-        def train_from(state: TrainState, batch, plan, staged):
+        def train_from(state: TrainState, rows, batch, plan, staged):
             def loss_fn(params, dkey):
-                x = cache.combine(plan, staged, batch.frontier)
+                x = FeatureCache.combine_rows(rows, plan, staged,
+                                              batch.frontier)
                 blocks = tuple(reversed(batch.blocks))
                 out = model.apply({"params": params}, blocks, x,
                                   deterministic=False,
@@ -79,8 +84,8 @@ class CachedTrainer:
             state = state.apply_gradients(grads)
             return state, loss
 
-        def eval_from(params, batch, plan, staged):
-            x = cache.combine(plan, staged, batch.frontier)
+        def eval_from(params, rows, batch, plan, staged):
+            x = FeatureCache.combine_rows(rows, plan, staged, batch.frontier)
             blocks = tuple(reversed(batch.blocks))
             out = model.apply({"params": params}, blocks, x,
                               deterministic=True)
@@ -113,13 +118,14 @@ class CachedTrainer:
         t0 = time.perf_counter()
         inflight = []  # (batch, plan) futures, dispatch order
         losses = []
-        hits = misses = valid = 0
+        hits = misses = valid = overflow = 0
         host_bytes = 0
 
         def dispatch(i):
             k = jax.random.fold_in(key, i)
             inflight.append(self.jit_sample_plan(
-                k, self.graph, jnp.asarray(seeds_epoch[i]), nb,
+                k, self.graph, self.cache.hot_ids,
+                jnp.asarray(seeds_epoch[i]), nb,
                 jnp.asarray(labels_epoch[i])))
 
         for i in range(min(depth, steps)):
@@ -129,7 +135,8 @@ class CachedTrainer:
             # host staging: blocks only on this step's plan
             miss_ids = np.asarray(plan.miss_ids)
             staged = self.host_stage(miss_ids)
-            state, loss = self.jit_train_from(state, batch, plan,
+            state, loss = self.jit_train_from(state, self.cache.rows,
+                                              batch, plan,
                                               jnp.asarray(staged))
             if i + depth < steps:
                 dispatch(i + depth)
@@ -137,7 +144,9 @@ class CachedTrainer:
             hits += int(plan.num_hit)
             misses += int(plan.num_miss)
             valid += int(plan.num_valid)
-            host_bytes += int(plan.num_miss) * staged.shape[1] * 4
+            overflow += int(plan.overflow())
+            host_bytes += (min(int(plan.num_miss), staged.shape[0])
+                           * staged.shape[1] * 4)
 
         last_loss = float(jax.device_get(losses[-1])) if losses else float("nan")
         dt = time.perf_counter() - t0
@@ -146,6 +155,7 @@ class CachedTrainer:
             "loss": last_loss,
             "cache_hit_rate": hits / max(valid, 1),
             "host_gb": host_bytes / 2 ** 30,
+            "staging_overflow": overflow,
         }
 
     def eval_epoch(self, params, seeds: np.ndarray, counts: np.ndarray,
@@ -157,11 +167,11 @@ class CachedTrainer:
         for t in range(seeds.shape[0]):
             key, sub = jax.random.split(key)
             batch, plan = self.jit_sample_plan(
-                sub, self.graph, jnp.asarray(seeds[t]),
+                sub, self.graph, self.cache.hot_ids, jnp.asarray(seeds[t]),
                 jnp.full((), int(counts[t]), jnp.int32),
                 jnp.asarray(labels[t]))
             staged = self.host_stage(np.asarray(plan.miss_ids))
-            a, b = self.jit_eval_from(params, batch, plan,
+            a, b = self.jit_eval_from(params, self.cache.rows, batch, plan,
                                       jnp.asarray(staged))
             a_sum += float(jax.device_get(a))
             b_sum += float(jax.device_get(b))

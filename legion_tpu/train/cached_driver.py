@@ -69,8 +69,30 @@ def run_cached_training(cfg: Config, data: GraphData, log=print) -> Dict:
         f"topo_cap={cost.topo_capacity}")
 
     caps = observed_caps(hot.max_per_hop, cfg.sampler.observed_cap_slack)
+    # Staging buffer sized from OBSERVED expected misses, not the whole
+    # frontier: per-step host->device bytes scale with miss_cap, and at
+    # high hit rates a frontier-sized buffer wastes ~30x the transfer
+    # (misses beyond 2x slack read as zeros and are reported as
+    # overflow — the static-bound discipline of the reference's
+    # max_ids_num, applied to staging).
+    # Estimate = 2x the presample-observed miss rate, floored at 1/16 of
+    # the frontier (short presampling never sees the cold tail, so the
+    # raw estimate biases to zero), and grown adaptively between epochs
+    # if overflow still occurs (one recompile per growth).
+    node_hot_np = np.asarray(hot.node_hot, np.int64)
+    cached_ids = np.asarray(cost.feat_order[:cost.feat_capacity])
+    miss_acc = node_hot_np.sum() - node_hot_np[cached_ids].sum()
+    miss_per_step = miss_acc / max(steps, 1)
+
+    def _round128(x):
+        return (int(x) + 127) // 128 * 128
+
+    miss_cap = int(min(caps[-1],
+                       _round128(miss_per_step * 2.0 + caps[-1] / 16 + 1024)))
+    log(f"staging: expected {miss_per_step:.0f} misses/step, "
+        f"miss_cap {miss_cap} (frontier cap {caps[-1]})")
     cache = FeatureCache.build(np.asarray(data.features), cost.feat_order,
-                               cost.feat_capacity, miss_cap=caps[-1])
+                               cost.feat_capacity, miss_cap=miss_cap)
 
     # ---- model/state init -------------------------------------------------
     model = build_model(cfg.model.arch, cfg.model.hidden_dim, num_classes,
@@ -117,13 +139,29 @@ def run_cached_training(cfg: Config, data: GraphData, log=print) -> Dict:
         state = state.replace(epoch=jnp.full((), epoch, jnp.int32))
         r = tr.run_epoch(state, s[0], lab)
         state = r.pop("state")
+        if r["staging_overflow"] > 0 and miss_cap < caps[-1]:
+            # grow staging past the worst observed per-step need and
+            # rebuild the pipeline (one recompile); overflowed rows in
+            # the epoch just run read as zeros (reported above).
+            need = miss_cap + r["staging_overflow"] / max(r["steps"], 1)
+            miss_cap = int(min(caps[-1], _round128(need * 2.0)))
+            log(f"staging overflow -> growing miss_cap to {miss_cap}")
+            cache = FeatureCache.build(np.asarray(data.features),
+                                       cost.feat_order,
+                                       cost.feat_capacity,
+                                       miss_cap=miss_cap)
+            tr = CachedTrainer(cfg, model, caps, graph, cache,
+                               host_stage=lambda ids: gather_rows(
+                                   host_feats, ids))
         r["epoch"] = epoch
         r["valid"] = eval_set(np.asarray(data.valid_ids),
                               plan.valid_steps, plan.valid_batch[0])
         history.append(r)
         log(f"Epoch:{epoch}, Cost:{r['seconds']:.3f} s, "
             f"Loss:{r['loss']:.4f}, hit:{r['cache_hit_rate']:.3f}, "
-            f"host_gb:{r['host_gb']:.3f}, Val Acc: {r['valid']:.4f}")
+            f"host_gb:{r['host_gb']:.3f}, Val Acc: {r['valid']:.4f}"
+            + (f" [STAGING OVERFLOW {r['staging_overflow']} rows]"
+               if r.get("staging_overflow") else ""))
     test_acc = eval_set(np.asarray(data.test_ids), plan.test_steps,
                         plan.test_batch[0])
     log(f"Accuracy on test data: {test_acc:.4f}")

@@ -146,3 +146,28 @@ def test_topo_cache_matches_full_graph(small_graph):
         for s, x in enumerate(cold[i]):
             if s < min(deg, 4) and deg > 0:
                 assert x in true_nbrs
+
+
+def test_cache_plan_staging_overflow():
+    """Misses beyond miss_cap are reported as overflow and their rows
+    combine to zero (not garbage)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from legion_tpu.cache.feature_cache import FeatureCache
+    feats = np.arange(40, dtype=np.float32).reshape(10, 4) + 1.0
+    # cache holds rows {0, 1}; frontier has 4 misses but miss_cap=2
+    cache = FeatureCache.build(feats, np.array([0, 1]), capacity=2,
+                               miss_cap=2)
+    frontier = jnp.asarray(np.array([0, 5, 6, 7, 8, 1, -1], np.int32))
+    plan = cache.plan(frontier)
+    assert int(plan.num_miss) == 4
+    assert int(plan.overflow()) == 2
+    staged = cache.stage(np.asarray(plan.miss_ids))
+    x = np.asarray(cache.combine(plan, jnp.asarray(staged), frontier))
+    np.testing.assert_allclose(x[0], feats[0])   # hit
+    np.testing.assert_allclose(x[1], feats[5])   # staged miss 0
+    np.testing.assert_allclose(x[2], feats[6])   # staged miss 1
+    np.testing.assert_allclose(x[3], 0.0)        # overflowed -> zero
+    np.testing.assert_allclose(x[4], 0.0)        # overflowed -> zero
+    np.testing.assert_allclose(x[5], feats[1])   # hit
+    np.testing.assert_allclose(x[6], 0.0)        # padding
