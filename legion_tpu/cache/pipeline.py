@@ -32,6 +32,52 @@ from legion_tpu.train.loop import lp_logsigmoid_loss, masked_softmax_ce
 from legion_tpu.train.train_state import TrainState
 
 
+def make_cache_step_fns(cfg: Config, model):
+    """Pure (train_from, eval_from) over a pre-sampled batch + cache
+    plan + staged miss rows. Shared by CachedTrainer (device sampling)
+    and the hybrid driver (host+device sampling).
+
+    Cache arrays are ARGUMENTS, not closures: closed-over device arrays
+    become XLA program literals and a ~1GB cache overflows compile
+    limits (see FeatureCache).
+    """
+    is_lp = cfg.model.arch == "lp_sage"
+
+    def train_from(state: TrainState, rows, batch, plan, staged):
+        def loss_fn(params, dkey):
+            x = FeatureCache.combine_rows(rows, plan, staged,
+                                          batch.frontier)
+            blocks = tuple(reversed(batch.blocks))
+            out = model.apply({"params": params}, blocks, x,
+                              deterministic=False,
+                              rngs={"dropout": dkey})
+            out = out[: batch.seed_cap]
+            mask = batch.seed_mask()
+            if is_lp:
+                return lp_logsigmoid_loss(out, mask)
+            return masked_softmax_ce(out, batch.labels, mask)
+
+        key = jax.random.fold_in(state.rng, state.step)
+        _, dkey = jax.random.split(key)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, dkey)
+        state = state.apply_gradients(grads)
+        return state, loss
+
+    def eval_from(params, rows, batch, plan, staged):
+        x = FeatureCache.combine_rows(rows, plan, staged, batch.frontier)
+        blocks = tuple(reversed(batch.blocks))
+        out = model.apply({"params": params}, blocks, x,
+                          deterministic=True)
+        out = out[: batch.seed_cap]
+        mask = batch.seed_mask()
+        if is_lp:
+            return lp_logsigmoid_loss(out, mask), jnp.sum(mask)
+        pred = jnp.argmax(out, axis=-1)
+        return jnp.sum((pred == batch.labels) & mask), jnp.sum(mask)
+
+    return train_from, eval_from
+
+
 class CachedTrainer:
     """Train with host-resident features behind a FeatureCache.
 
@@ -50,9 +96,6 @@ class CachedTrainer:
         self.is_lp = cfg.model.arch == "lp_sage"
         fanouts = tuple(cfg.sampler.fanouts)
 
-        # Cache arrays (hot_ids, rows — up to GBs) are jit ARGUMENTS, not
-        # closures: closed-over device arrays become XLA program literals
-        # and a ~1GB cache overflows compile limits (see FeatureCache).
         def sample_plan(key, graph, hot_ids, seeds, num_seeds, labels):
             # dedup_last=True always: with host-resident features every
             # duplicate frontier row costs host->device bytes, so dedup
@@ -64,38 +107,7 @@ class CachedTrainer:
                                          cache.miss_cap)
             return batch, plan
 
-        def train_from(state: TrainState, rows, batch, plan, staged):
-            def loss_fn(params, dkey):
-                x = FeatureCache.combine_rows(rows, plan, staged,
-                                              batch.frontier)
-                blocks = tuple(reversed(batch.blocks))
-                out = model.apply({"params": params}, blocks, x,
-                                  deterministic=False,
-                                  rngs={"dropout": dkey})
-                out = out[: batch.seed_cap]
-                mask = batch.seed_mask()
-                if self.is_lp:
-                    return lp_logsigmoid_loss(out, mask)
-                return masked_softmax_ce(out, batch.labels, mask)
-
-            key = jax.random.fold_in(state.rng, state.step)
-            _, dkey = jax.random.split(key)
-            loss, grads = jax.value_and_grad(loss_fn)(state.params, dkey)
-            state = state.apply_gradients(grads)
-            return state, loss
-
-        def eval_from(params, rows, batch, plan, staged):
-            x = FeatureCache.combine_rows(rows, plan, staged, batch.frontier)
-            blocks = tuple(reversed(batch.blocks))
-            out = model.apply({"params": params}, blocks, x,
-                              deterministic=True)
-            out = out[: batch.seed_cap]
-            mask = batch.seed_mask()
-            if self.is_lp:
-                return lp_logsigmoid_loss(out, mask), jnp.sum(mask)
-            pred = jnp.argmax(out, axis=-1)
-            return jnp.sum((pred == batch.labels) & mask), jnp.sum(mask)
-
+        train_from, eval_from = make_cache_step_fns(cfg, model)
         self.jit_sample_plan = jax.jit(sample_plan)
         self.jit_train_from = jax.jit(train_from, donate_argnums=(0,))
         self.jit_eval_from = jax.jit(eval_from)

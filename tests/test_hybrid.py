@@ -49,3 +49,26 @@ def test_hybrid_sampler_end_to_end(small_graph):
     assert hs.stats["hot"] > 0 and hs.stats["cold"] > 0
     assert 0.0 < hs.hot_fraction() < 1.0
     assert hs.stats["host_bytes"] > 0
+
+
+def test_run_hybrid_training_end_to_end(small_graph):
+    """Full host-topology driver: host presample -> cost model -> topo +
+    feature caches -> hybrid-sampled training steps."""
+    from legion_tpu.config import (CacheConfig, Config, DatasetConfig,
+                                   ModelConfig, SamplerConfig, TrainConfig)
+    from legion_tpu.train.hybrid_driver import run_hybrid_training
+    cfg = Config(
+        dataset=DatasetConfig(num_classes=int(small_graph.num_classes),
+                              topology_placement="host",
+                              feature_placement="host"),
+        sampler=SamplerConfig(fanouts=(5, 4), batch_size=64,
+                              eval_batch_size=32),
+        model=ModelConfig(arch="sage", hidden_dim=16, num_layers=2),
+        train=TrainConfig(epochs=1),
+        cache=CacheConfig(enabled=True, budget_bytes=1 << 20,
+                          presample_steps=3))
+    res = run_hybrid_training(cfg, small_graph, log=lambda s: None)
+    h = res["history"][-1]
+    assert np.isfinite(h["loss"])
+    assert 0.0 < h["feat_hit_rate"] <= 1.0
+    assert 0.0 <= h["topo_hot_fraction"] <= 1.0

@@ -41,6 +41,9 @@ def main():
                     choices=["float32", "bfloat16"])
     ap.add_argument("--cache-budget-gb", type=float, default=0.0,
                     help=">0 enables the hotness cache (host features)")
+    ap.add_argument("--topology", default="hbm", choices=["hbm", "host"],
+                    help="'host' = host CSR + HBM hot sub-CSR (hybrid "
+                         "sampling; uk-scale graphs beyond device HBM)")
     args = ap.parse_args()
 
     from legion_tpu.config import (DATASET_REGISTRY, CacheConfig, Config,
@@ -87,8 +90,13 @@ def main():
                               budget_bytes=int(args.cache_budget_gb * 2**30)),
         )
 
+    topo_host = (getattr(args, "topology", "hbm") == "host"
+                 or cfg.dataset.topology_placement == "host")
     print(cfg.to_json())
-    if cfg.cache.enabled:
+    if topo_host:
+        from legion_tpu.train.hybrid_driver import run_hybrid_training
+        run_hybrid_training(cfg, data)
+    elif cfg.cache.enabled:
         from legion_tpu.train.cached_driver import run_cached_training
         run_cached_training(cfg, data)
     else:
