@@ -89,11 +89,19 @@ def _draws(key, deg, p, fanout):
 
 def _select_lanes(win: jnp.ndarray, off: jnp.ndarray,
                   max_id: int) -> jnp.ndarray:
-    """out[p, f] = win[p, off[p, f]] via one-hot MXU contraction — the
-    fastest TPU lowering for a per-row lane select (measured 6.3ms vs
-    27ms for take_along_axis and 12ms for a binary mux tree at 142k x 10
-    x 256). f32 is exact for values < 2^24; larger ids split into two
-    12-bit-exact halves and recombine."""
+    """out[p, f] = win[p, off[p, f]].
+
+    Measured at hop-2 bench shapes (142k x f10 x 256, tools/
+    bench_select.py): the select is VPU-op-bound (~P*F*LANES candidate
+    examinations), not MXU- or HBM-bound — f32x1 einsum 4.0ms == its
+    one-hot generation cost; take_along_axis 27ms; Pallas masked-sum
+    4.5ms. So: ids < 2^24 use the single f32 one-hot einsum; larger ids
+    need two exact contractions (5.2ms), where the Pallas VMEM
+    masked-sum kernel (ops/select_pallas.py, 4.5ms, id-width
+    independent) wins and is used on TPU."""
+    if max_id >= (1 << 24) and jax.default_backend() == "tpu":
+        from legion_tpu.ops.select_pallas import select_lanes_pallas
+        return select_lanes_pallas(win, off)
     lanes = win.shape[1]
     oh = jax.nn.one_hot(off, lanes, dtype=jnp.float32)      # (P, f, lanes)
     if max_id < (1 << 24):

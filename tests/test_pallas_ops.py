@@ -82,3 +82,17 @@ def test_block_sddmm_matches_decode(small_graph=None):
             want = h_src[i] @ h_src[pos[i, j]] if mask[i, j] else 0.0
             np.testing.assert_allclose(out[i, j], want, rtol=1e-5,
                                        atol=1e-6)
+
+
+@pytest.mark.parametrize("p,f", [(300, 10), (512, 25)])
+def test_select_lanes_pallas_interpret(p, f):
+    """Pallas lane select (interpret mode) == take_along_axis, including
+    the non-tile-multiple padding path."""
+    from legion_tpu.ops.select_pallas import select_lanes_pallas
+    rng = np.random.default_rng(3)
+    win = rng.integers(0, 2_449_029, (p, 256), dtype=np.int32)
+    off = rng.integers(0, 256, (p, f), dtype=np.int32)
+    with _interpret():
+        out = select_lanes_pallas(jnp.asarray(win), jnp.asarray(off))
+    want = np.take_along_axis(win, off, axis=1)
+    assert (np.asarray(out) == want).all()
