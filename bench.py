@@ -16,6 +16,12 @@ vs_baseline = speedup over the scatter-based DGL-style SpMM formulation
 (segment_sum over the COO edge list) running the identical pipeline —
 i.e. what a direct port of the reference's aggregation would do on TPU.
 
+Model compute defaults to bfloat16 mixed precision (f32 params/reduce —
+the TPU-idiomatic training dtype; convergence parity vs f32 is tested
+in tests/test_bf16.py and losses match to 3 decimals at bench scale).
+BENCH_DTYPE=float32 reproduces the f32 measurement; the baseline is
+always measured at the same dtype (memo key includes it).
+
 Prints exactly ONE JSON line on stdout.
 """
 
@@ -42,6 +48,7 @@ BATCH = int(os.environ.get("BENCH_BATCH", 8000))
 STEPS = int(os.environ.get("BENCH_STEPS", 20))
 NODES = int(os.environ.get("BENCH_NODES", 2_449_029))
 DEG = int(os.environ.get("BENCH_DEG", 50))
+DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 FANOUTS = (25, 10)
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_cache")
@@ -100,7 +107,8 @@ def run_variant(agg, graph, feats, cfg, caps, seeds, labels):
     model = SAGE(hidden_dim=cfg.model.hidden_dim,
                  out_dim=cfg.dataset.num_classes,
                  num_layers=cfg.model.num_layers,
-                 dropout=cfg.model.dropout, agg=agg)
+                 dropout=cfg.model.dropout, agg=agg,
+                 dtype=jnp.dtype(cfg.model.dtype))
     epoch_scan = make_step_fns(cfg, model, caps).epoch_scan
 
     import functools
@@ -148,7 +156,7 @@ def main():
         dataset=DatasetConfig(num_classes=47),
         sampler=SamplerConfig(fanouts=FANOUTS, batch_size=BATCH),
         model=ModelConfig(arch="sage", hidden_dim=256, num_layers=2,
-                          dropout=0.5),
+                          dropout=0.5, dtype=DTYPE),
         train=TrainConfig(learning_rate=0.003),
     )
     from legion_tpu.data.format import pad_feature_dim
@@ -170,7 +178,8 @@ def main():
     # measurement is memoized so the default bench needs one compile —
     # the remote compile service's latency varies 50s..510s per program.
     # Delete .bench_cache/baseline_*.json to force a re-measure.
-    memo = os.path.join(CACHE_DIR, f"baseline_{NODES}_{DEG}_{BATCH}.json")
+    memo = os.path.join(CACHE_DIR,
+                        f"baseline_{NODES}_{DEG}_{BATCH}_{DTYPE}.json")
     if os.path.exists(memo):
         eps_coo = json.load(open(memo))["edges_per_s"]
         log(f"[coo_segment] baseline from cache: {eps_coo:.3e} edges/s")
