@@ -129,10 +129,22 @@ def make_step_fns(cfg: Config, model, caps,
         state = state.apply_gradients(grads)
         edges = sum(b.num_edges() for b in batch.blocks)
         frontier = batch.num_frontier
+        # Static caps drop frontier ids beyond capacity (mode="drop"),
+        # silently thinning sampled neighborhoods — the failure mode of
+        # tightening observed_cap_slack too far. Surface it: overflow > 0
+        # on any step means the caps must be loosened. (The reference has
+        # the same exposure with its 1.2x MaxIdNum buffers and no check.)
+        overflow = sum(
+            jnp.maximum(blk.num_src - cap, 0)
+            for blk, cap in zip(batch.blocks, caps[1:])
+            if blk.identity_offset is None)
+        overflow = jnp.asarray(overflow, jnp.int32)
         if shard_axes:
             edges = jax.lax.psum(edges, shard_axes)
             frontier = jax.lax.psum(frontier, shard_axes)
-        metrics = {"loss": loss, "edges": edges, "frontier": frontier}
+            overflow = jax.lax.psum(overflow, shard_axes)
+        metrics = {"loss": loss, "edges": edges, "frontier": frontier,
+                   "cap_overflow": overflow}
         return state, metrics
 
     def eval_step(params, graph: DeviceGraph, feats, seeds, num_seeds,
@@ -181,11 +193,11 @@ def make_step_fns(cfg: Config, model, caps,
         def body(st, xs):
             seeds, labels = xs
             st, m = train_step(st, graph, feats, seeds, nb, labels)
-            return st, (m["loss"], m["edges"])
+            return st, (m["loss"], m["edges"], m["cap_overflow"])
 
-        state, (losses, edges) = jax.lax.scan(
+        state, (losses, edges, overflow) = jax.lax.scan(
             body, state, (seeds_epoch, labels_epoch))
-        return state, losses, jnp.sum(edges)
+        return state, losses, (jnp.sum(edges), jnp.sum(overflow))
 
     return StepFns(train_step=train_step, eval_step=eval_step,
                    epoch_scan=epoch_scan, eval_scan=eval_scan)
@@ -310,11 +322,17 @@ class Trainer:
         seeds, _ = epoch_train_seeds(rng, [self.shards_train[shard]], self.plan)
         labels = np.asarray(self.data.labels)[seeds[0]]
         t0 = time.perf_counter()
-        self.state, losses, edges = self.jit_epoch(
+        self.state, losses, (edges, overflow) = self.jit_epoch(
             self.state, self.graph, self.features,
             jnp.asarray(seeds[0]), jnp.asarray(labels))
         losses = jax.device_get(losses)
         dt = time.perf_counter() - t0
+        overflow = int(jax.device_get(overflow))
+        if overflow > 0:
+            from legion_tpu.utils.logging import log_metrics
+            log_metrics({"event": "cap_overflow", "epoch": epoch,
+                         "dropped_frontier_ids": overflow,
+                         "hint": "raise sampler.observed_cap_slack"})
         # exact byte accounting (PCM-counter replacement, SURVEY.md §5):
         # every step gathers frontier_cap feature rows from HBM
         feat_bytes = (self.plan.train_steps * self.caps[-1]

@@ -197,42 +197,49 @@ def test_sample_batch_dedup_last_false_semantics(small_graph):
     assert (f[caps[-2]:][np.asarray(blk.nbr_mask).reshape(-1)] >= 0).all()
 
 
-def test_windowed_matches_per_edge(small_graph):
-    """Windowed (line-gather + one-hot select) sampling must be
-    bit-identical to the per-edge gather for the same key."""
+def test_line_layouts_match_per_edge(small_graph):
+    """Line-granular sampling (aligned single-line layout AND the
+    windowed 2-line layout) must be bit-identical to the per-edge gather
+    for the same key — and to each other, since draws depend only on
+    degrees, which layouts preserve."""
     from legion_tpu.sampling.sampler import sample_neighbors_per_edge
-    g = _dev_graph(small_graph)
+    gw = DeviceGraph.from_host(small_graph.indptr, small_graph.indices,
+                               layout="windowed")
+    ga = DeviceGraph.from_host(small_graph.indptr, small_graph.indices,
+                               layout="aligned")
+    assert ga.astart is not None and gw.astart is None
     frontier = jnp.asarray(
         np.r_[np.arange(200), [-1, -1]].astype(np.int32))
     for k in range(3):
-        a = sample_neighbors(jax.random.PRNGKey(k), g, frontier, 7)
-        b = sample_neighbors_per_edge(jax.random.PRNGKey(k), g, frontier, 7)
-        assert (np.asarray(a) == np.asarray(b)).all()
+        ref = sample_neighbors_per_edge(jax.random.PRNGKey(k), gw,
+                                        frontier, 7)
+        for g in (gw, ga):
+            a = sample_neighbors(jax.random.PRNGKey(k), g, frontier, 7)
+            assert (np.asarray(a) == np.asarray(ref)).all()
 
 
-def test_windowed_tail_path_exercised():
-    """Graph with hub nodes beyond the window: tail fallback must still
-    be bit-identical to per-edge sampling and big_deg_count must see the
-    hubs."""
-    from legion_tpu.data.synthetic import random_power_law_graph
-    from legion_tpu.sampling.sampler import (WINDOW_LINES,
-                                             sample_neighbors_per_edge)
+def test_line_tail_path_exercised():
+    """Graph with hub nodes beyond the window/line: tail fallback must
+    still be bit-identical to per-edge sampling and big_deg_count must
+    see the hubs — in both layouts."""
+    from legion_tpu.sampling.sampler import sample_neighbors_per_edge
     rng = np.random.default_rng(0)
     n, hub_deg = 3000, 700
-    # 5 hubs with deg 700 (> WINDOW_LINES*128-129), rest deg ~20
+    # 5 hubs with deg 700 (> WINDOW_LINES*128-129 and > 128), rest ~20
     deg = rng.integers(1, 40, size=n)
     deg[:5] = hub_deg
     indptr = np.zeros(n + 1, np.int64)
     indptr[1:] = np.cumsum(deg)
     indices = rng.integers(0, n, size=indptr[-1]).astype(np.int32)
-    from legion_tpu.sampling.sampler import DeviceGraph
-    g = DeviceGraph.from_host(indptr, indices)
-    assert g.big_deg_count >= 5
     frontier = jnp.asarray(np.r_[np.arange(5), rng.permutation(n)[:100],
                                  [-1]].astype(np.int32))
-    a = sample_neighbors(jax.random.PRNGKey(3), g, frontier, 9)
-    b = sample_neighbors_per_edge(jax.random.PRNGKey(3), g, frontier, 9)
-    assert (np.asarray(a) == np.asarray(b)).all()
+    for layout in ("windowed", "aligned"):
+        g = DeviceGraph.from_host(indptr, indices, layout=layout)
+        assert g.big_deg_count >= 5
+        a = sample_neighbors(jax.random.PRNGKey(3), g, frontier, 9)
+        b = sample_neighbors_per_edge(jax.random.PRNGKey(3), g,
+                                      frontier, 9)
+        assert (np.asarray(a) == np.asarray(b)).all()
 
 
 def test_select_lanes_large_ids():
