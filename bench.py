@@ -163,6 +163,14 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception as e:
         log(f"compilation cache unavailable: {e}")
+    # TPU hardware RNG for dropout masks + sampling draws (same
+    # distributions, different stream): threefry is VPU-heavy at
+    # (frontier x hidden) dropout shapes — measured -0.7 ms/step.
+    try:
+        jax.config.update("jax_default_prng_impl",
+                          os.environ.get("BENCH_PRNG", "rbg"))
+    except Exception as e:
+        log(f"prng impl pin unavailable: {e}")
 
     data = load_or_gen()
     cfg = Config(

@@ -37,10 +37,12 @@ class TopoCache(NamedTuple):
         sub_indptr = np.zeros(capacity + 1, np.int64)
         np.cumsum(degs, out=sub_indptr[1:])
         assert sub_indptr[-1] < 2 ** 31, "hot sub-CSR exceeds int32 addressing"
-        sub_indices = np.empty(int(sub_indptr[-1]), np.int32)
-        for i, v in enumerate(hot):
-            s, e = indptr[v], indptr[v + 1]
-            sub_indices[sub_indptr[i]:sub_indptr[i + 1]] = indices[s:e]
+        total = int(sub_indptr[-1])
+        # vectorized adjacency copy: src[j] walks each hot run in order
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            sub_indptr[:-1], degs)
+        src = np.repeat(np.asarray(indptr)[hot], degs) + within
+        sub_indices = np.asarray(indices)[src].astype(np.int32)
         return cls(hot_ids=jnp.asarray(hot.astype(np.int32)),
                    sub_indptr=jnp.asarray(sub_indptr.astype(np.int32)),
                    sub_indices=jnp.asarray(sub_indices))

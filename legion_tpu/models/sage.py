@@ -46,7 +46,21 @@ class SAGEConv(nn.Module):
         # blocks aggregate via a fused reshape (no gather), where
         # transform-first would only inflate the dense work.
         narrower = self.out_dim < jnp.shape(h_src)[-1]
-        if (self.agg == "fanout" and block.identity_offset is None
+        if self.agg == "fanout" and block.identity_offset is not None:
+            from legion_tpu.ops.identity_agg_pallas import (
+                identity_masked_mean_pallas, supported)
+            if (self.dtype == jnp.bfloat16
+                    and supported(h_src, block.nbr_mask,
+                                  block.identity_offset)):
+                # fused single-HBM-pass kernel (mask + grouped mean +
+                # bf16 cast); XLA's formulation spends 4 passes
+                agg = identity_masked_mean_pallas(
+                    h_src, block.nbr_mask, block.identity_offset,
+                    out_dtype=jnp.bfloat16)
+            else:
+                agg = AGGREGATORS[self.agg](h_src, block)
+            h_neigh = fc_neigh(agg)
+        elif (self.agg == "fanout" and block.identity_offset is None
                 and narrower):
             h_neigh = AGGREGATORS[self.agg](fc_neigh(h_src), block)
         else:
@@ -69,7 +83,16 @@ class SAGE(nn.Module):
     def __call__(self, blocks: Sequence[Block], x: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
         assert len(blocks) == self.num_layers
-        h = x.astype(self.dtype)
+        # With an identity-layout first block the fused aggregation
+        # kernel consumes raw f32 features (casting only what it emits),
+        # so skip the whole-array cast — it is a full extra HBM pass
+        # over the largest tensor in the step. Dense layers cast their
+        # own (much smaller) prefix inputs.
+        if (self.agg == "fanout" and blocks
+                and blocks[0].identity_offset is not None):
+            h = x
+        else:
+            h = x.astype(self.dtype)
         for i, block in enumerate(blocks):
             dim = self.out_dim if i == self.num_layers - 1 else self.hidden_dim
             h = SAGEConv(dim, dtype=self.dtype, agg=self.agg,

@@ -54,6 +54,12 @@ class DeviceGraph:
     # straddles a 512B line: one descriptor fetches it and the lane
     # select examines 128 candidates instead of WINDOW_LINES*128.
     astart: jnp.ndarray | None = None   # (N,) int32 or None
+    # (N, 2) int32 [run_start, degree]: per-node metadata packed so the
+    # sampler issues ONE row gather per frontier node instead of three
+    # scalar gathers (indptr[ids], indptr[ids+1], astart[ids]) — the
+    # scalar lookups cost ~3.8ms/step at bench shapes vs 0.56ms for the
+    # 512B window fetch itself (xprof, fusion.304/305/301).
+    meta: jnp.ndarray | None = None
 
     @property
     def num_nodes(self) -> int:
@@ -98,7 +104,9 @@ class DeviceGraph:
                     indptr=jnp.asarray(indptr, dtype=jnp.int32),
                     indices=jnp.asarray(packed),
                     big_deg_count=int((deg > 128).sum()),
-                    astart=jnp.asarray(astart, dtype=jnp.int32))
+                    astart=jnp.asarray(astart, dtype=jnp.int32),
+                    meta=jnp.asarray(
+                        np.stack([astart, deg], axis=1).astype(np.int32)))
         e = indices.shape[0]
         epad = (e + 127) // 128 * 128
         if epad != e:
@@ -107,13 +115,24 @@ class DeviceGraph:
         big = int((deg > window_lines * 128 - 127).sum())
         return cls(indptr=jnp.asarray(indptr, dtype=jnp.int32),
                    indices=jnp.asarray(indices, dtype=jnp.int32),
-                   big_deg_count=big)
+                   big_deg_count=big,
+                   meta=jnp.asarray(
+                       np.stack([indptr[:-1], deg], axis=1).astype(np.int32)))
 
     def run_starts(self, ids: jnp.ndarray) -> jnp.ndarray:
         """Start offsets of the given nodes' adjacency runs in ``indices``
         (layout-aware)."""
         return (self.astart[ids] if self.astart is not None
                 else self.indptr[ids])
+
+    def node_meta(self, ids: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(run_start, degree) per node — one packed row gather when
+        ``meta`` is present (graphs built before the field existed, e.g.
+        restored from old pytrees, fall back to scalar lookups)."""
+        if self.meta is not None:
+            m = self.meta[ids]
+            return m[:, 0], m[:, 1]
+        return self.run_starts(ids), self.indptr[ids + 1] - self.indptr[ids]
 
 
 # Adjacency window width for line-granular sampling, in 512B HBM lines
@@ -167,8 +186,7 @@ def sample_neighbors_per_edge(key: jax.Array, graph: DeviceGraph,
     p = frontier.shape[0]
     valid = frontier >= 0
     ids = jnp.where(valid, frontier, 0)
-    deg = graph.indptr[ids + 1] - graph.indptr[ids]  # (P,)
-    start = graph.run_starts(ids)                    # (P,)
+    start, deg = graph.node_meta(ids)               # (P,), (P,)
     off = _draws(key, deg, p, fanout)
     addr = start[:, None] + off
     nbr = graph.indices[jnp.clip(addr, 0, graph.indices.shape[0] - 1)]
@@ -207,8 +225,7 @@ def sample_neighbors(key: jax.Array, graph: DeviceGraph,
     lanes = 128 if aligned else WINDOW_LINES * 128
     valid = frontier >= 0
     ids = jnp.where(valid, frontier, 0)
-    deg = graph.indptr[ids + 1] - graph.indptr[ids]
-    start = graph.run_starts(ids)
+    start, deg = graph.node_meta(ids)
     draw = _draws(key, deg, p, fanout)
 
     indices2d = graph.indices.reshape(-1, 128)
@@ -496,10 +513,19 @@ def sample_batch_scatter(key: jax.Array, graph: DeviceGraph,
     return batch, pos_map, stamp
 
 
-def gather_features(features: jnp.ndarray, frontier: jnp.ndarray) -> jnp.ndarray:
+def gather_features(features: jnp.ndarray, frontier: jnp.ndarray,
+                    mask_invalid: bool = True) -> jnp.ndarray:
     """Gather feature rows for a (padded) frontier from an HBM-resident
-    table; padded slots read row 0 and are zeroed. The cached/host paths
-    live in legion_tpu.cache.feature_cache."""
+    table; padded slots read row 0 and (by default) are zeroed. The
+    cached/host paths live in legion_tpu.cache.feature_cache.
+
+    mask_invalid=False skips the zeroing — a whole extra HBM pass over
+    the largest array in the step. Safe whenever every downstream
+    consumer masks: all aggregators multiply by nbr_mask, and the
+    loss/accuracy mask invalid seed rows, so the training/eval steps
+    qualify (see train.loop)."""
     valid = frontier >= 0
     rows = features[jnp.where(valid, frontier, 0)]
-    return rows * valid[:, None].astype(features.dtype)
+    if mask_invalid:
+        rows = rows * valid[:, None].astype(features.dtype)
+    return rows

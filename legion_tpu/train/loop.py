@@ -90,7 +90,11 @@ def make_step_fns(cfg: Config, model, caps,
     """
     fanouts = tuple(cfg.sampler.fanouts)
     dedup_last = cfg.sampler.dedup_last
-    fetch = feature_fetch or (lambda feats, frontier: gather_features(feats, frontier))
+    # mask_invalid=False: every consumer of the gathered rows masks
+    # (aggregators by nbr_mask, loss/metrics by the seed mask), so the
+    # zeroing pass over the largest array in the step is pure waste.
+    fetch = feature_fetch or (lambda feats, frontier: gather_features(
+        feats, frontier, mask_invalid=False))
     is_lp = cfg.model.arch == "lp_sage"
 
     def shard_key(key):

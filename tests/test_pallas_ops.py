@@ -96,3 +96,29 @@ def test_select_lanes_pallas_interpret(p, f):
         out = select_lanes_pallas(jnp.asarray(win), jnp.asarray(off))
     want = np.take_along_axis(win, off, axis=1)
     assert (np.asarray(out) == want).all()
+
+
+def test_identity_masked_mean_pallas_interpret():
+    """Fused identity-agg kernel (interpret mode) == fanout_gather_mean
+    on an identity-layout block, including zero-in-degree rows."""
+    from legion_tpu.ops.identity_agg_pallas import identity_masked_mean_pallas
+    from legion_tpu.ops.segment import fanout_gather_mean
+    from legion_tpu.sampling.block import Block
+    rng = np.random.default_rng(4)
+    p, f, d, off = 256, 5, 128, 192
+    x = rng.standard_normal((off + p * f, d)).astype(np.float32)
+    mask = rng.random((p, f)) > 0.4
+    mask[7] = False                       # zero-in-degree dst row
+    pos = (off + np.arange(p * f).reshape(p, f)).astype(np.int32)
+    blk = Block(nbr_pos=jnp.asarray(pos), nbr_mask=jnp.asarray(mask),
+                num_src=jnp.int32(off + p * f), num_dst=jnp.int32(p),
+                identity_offset=off)
+    with _interpret():
+        out = identity_masked_mean_pallas(
+            jnp.asarray(x), jnp.asarray(mask), off,
+            out_dtype=jnp.float32, interpret=True)
+    want = np.asarray(fanout_gather_mean(
+        jnp.asarray(x).astype(jnp.bfloat16), blk)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-2,
+                               atol=2e-2)
+    assert np.all(np.asarray(out)[7] == 0.0)
