@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from legion_tpu.ops.segment import block_dst_degree, block_src_out_degree, fanout_gather_sum
@@ -25,18 +26,39 @@ class GraphConvLayer(nn.Module):
 
     @nn.compact
     def __call__(self, block: Block, h_src: jnp.ndarray) -> jnp.ndarray:
+        dense = nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
+                         name="dense")
+        if block.identity_offset is not None:
+            # Identity blocks: every appended src row carries at most one
+            # edge, so the src 1/sqrt(out-deg) factor is exactly 1 and
+            # 'both' norm reduces to sum / sqrt(in-deg) — one fused
+            # kernel pass on TPU (mask + sum + rsqrt + bf16 cast).
+            from legion_tpu.ops.identity_agg_pallas import (
+                identity_masked_mean_pallas, supported)
+            if (self.dtype == jnp.bfloat16
+                    and supported(h_src, block.nbr_mask,
+                                  block.identity_offset)):
+                agg = identity_masked_mean_pallas(
+                    h_src, block.nbr_mask, block.identity_offset,
+                    out_dtype=jnp.bfloat16, norm="sqrt")
+            else:
+                dst_deg = block_dst_degree(block).astype(self.dtype)
+                agg = fanout_gather_sum(h_src.astype(self.dtype), block)
+                agg = agg * jax.lax.rsqrt(
+                    jnp.maximum(dst_deg, 1.0))[:, None]
+            agg = dense(agg)
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.out_dim,), jnp.float32)
+            return agg + bias.astype(self.dtype)
         src_deg = block_src_out_degree(block, h_src.shape[0]).astype(self.dtype)
         dst_deg = block_dst_degree(block).astype(self.dtype)
         h = h_src * (1.0 / jnp.sqrt(jnp.maximum(src_deg, 1.0)))[:, None]
-        dense = nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
-                         name="dense")
         # The kernel (bias-free) commutes exactly with the masked sum and
         # the per-row dst scaling, so when it NARROWS and the block
         # gathers (non-identity layout), transform before aggregation to
         # shrink the random row gather + backward scatter (same move as
         # SAGEConv); bias is added after the norm either way.
-        if (self.out_dim < h_src.shape[-1]
-                and block.identity_offset is None):
+        if self.out_dim < h_src.shape[-1]:
             agg = fanout_gather_sum(dense(h), block)
         else:
             agg = dense(fanout_gather_sum(h, block))
@@ -59,7 +81,12 @@ class GCN(nn.Module):
     def __call__(self, blocks: Sequence[Block], x: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
         assert len(blocks) == self.num_layers
-        h = x.astype(self.dtype)
+        # identity-layout first block: the fused kernel consumes raw f32
+        # features; skip the whole-array cast (see models.sage).
+        if blocks and blocks[0].identity_offset is not None:
+            h = x
+        else:
+            h = x.astype(self.dtype)
         for i, block in enumerate(blocks):
             if i != 0:
                 h = nn.Dropout(self.dropout, deterministic=deterministic)(h)

@@ -37,7 +37,7 @@ TILE_P = 128   # dst rows per grid step (MXU-sized)
 
 
 def _kernel(x_hbm, mask_ref, out_ref, scratch, sems, *,
-            prefix: int, fanout: int, tile_p: int):
+            prefix: int, fanout: int, tile_p: int, norm: str):
     i = pl.program_id(0)
     n = pl.num_programs(0)
     tpf = tile_p * fanout
@@ -69,7 +69,12 @@ def _kernel(x_hbm, mask_ref, out_ref, scratch, sems, *,
     dma(i % 2, i).wait()
     rows = scratch[i % 2].astype(jnp.bfloat16)
     agg = jnp.dot(s, rows, preferred_element_type=jnp.float32)
-    out_ref[:] = (agg / jnp.maximum(cnt, 1.0)).astype(out_ref.dtype)
+    denom = jnp.maximum(cnt, 1.0)
+    if norm == "mean":                      # SAGE mean aggregator
+        agg = agg / denom
+    elif norm == "sqrt":                    # GCN 'both' (src out-deg = 1)
+        agg = agg * jax.lax.rsqrt(denom)
+    out_ref[:] = agg.astype(out_ref.dtype)
 
 
 def supported(x: jnp.ndarray, nbr_mask: jnp.ndarray,
@@ -84,25 +89,31 @@ def supported(x: jnp.ndarray, nbr_mask: jnp.ndarray,
 
 @functools.partial(jax.jit,
                    static_argnames=("identity_offset", "out_dtype",
-                                    "interpret"))
+                                    "norm", "interpret"))
 def identity_masked_mean_pallas(x: jnp.ndarray, nbr_mask: jnp.ndarray,
                                 identity_offset: int,
                                 out_dtype=jnp.bfloat16,
+                                norm: str = "mean",
                                 interpret: bool = False) -> jnp.ndarray:
-    """out[d] = mean over valid slots j of x[identity_offset + d*f + j].
+    """out[d] = reduce over valid slots j of x[identity_offset + d*f + j].
+
+    norm: "mean" (SAGE), "sqrt" (GCN 'both': sum / sqrt(in-deg); the src
+    1/sqrt(out-deg) factor is exactly 1 on identity blocks since every
+    appended row carries at most one edge), or "sum".
 
     x: (F_cap, D) float32 (D % 128 == 0), nbr_mask: (P, f) bool with
     P % 128 == 0. Zero-in-degree rows yield 0 (cnt clamped), matching
-    ops.segment.fanout_gather_mean.
+    ops.segment.fanout_gather_mean / the GCN norm guards.
     """
     p, fanout = nbr_mask.shape
     d = x.shape[1]
     assert p % TILE_P == 0 and d % 128 == 0
+    assert norm in ("mean", "sqrt", "sum")
     tpf = TILE_P * fanout
 
     return pl.pallas_call(
         functools.partial(_kernel, prefix=identity_offset,
-                          fanout=fanout, tile_p=TILE_P),
+                          fanout=fanout, tile_p=TILE_P, norm=norm),
         grid=(p // TILE_P,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),            # x stays HBM

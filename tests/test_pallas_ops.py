@@ -122,3 +122,21 @@ def test_identity_masked_mean_pallas_interpret():
     np.testing.assert_allclose(np.asarray(out), want, rtol=2e-2,
                                atol=2e-2)
     assert np.all(np.asarray(out)[7] == 0.0)
+
+
+def test_identity_agg_pallas_sqrt_norm():
+    """norm='sqrt' (GCN 'both' on identity blocks) == sum / sqrt(in-deg)."""
+    from legion_tpu.ops.identity_agg_pallas import identity_masked_mean_pallas
+    rng = np.random.default_rng(5)
+    p, f, d, off = 128, 3, 128, 128
+    x = rng.standard_normal((off + p * f, d)).astype(np.float32)
+    mask = rng.random((p, f)) > 0.3
+    mask[3] = False
+    with _interpret():
+        out = identity_masked_mean_pallas(
+            jnp.asarray(x), jnp.asarray(mask), off,
+            out_dtype=jnp.float32, norm="sqrt", interpret=True)
+    rows = x[off:].reshape(p, f, d) * mask[:, :, None]
+    want = rows.sum(1) / np.sqrt(np.maximum(mask.sum(1), 1))[:, None]
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-2, atol=2e-2)
+    assert np.all(np.asarray(out)[3] == 0.0)
