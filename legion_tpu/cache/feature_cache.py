@@ -54,15 +54,28 @@ class FeatureCache:
         self.host_features = host_features
         self.miss_cap = int(miss_cap)
 
+    @property
+    def np_dtype(self):
+        import ml_dtypes
+        return (ml_dtypes.bfloat16 if self.rows.dtype == jnp.bfloat16
+                else np.float32)
+
     @classmethod
     def build(cls, host_features: np.ndarray, hot_order: np.ndarray,
-              capacity: int, miss_cap: int) -> "FeatureCache":
+              capacity: int, miss_cap: int,
+              dtype=np.float32) -> "FeatureCache":
         """hot_order: hotness-descending candidate ids (cost-model
         feat_order); the top `capacity` are cached (FillUp analog,
-        src/GPUCache.cu:769-826)."""
+        src/GPUCache.cu:769-826).
+
+        dtype: on-device storage/staging dtype. Training in bf16 makes
+        bf16 the natural choice — it DOUBLES the rows a given HBM budget
+        caches and HALVES host->device staging bytes, and the model
+        casts x to bf16 anyway (pass the cost model feat_row_bytes =
+        dim * 2 to match)."""
         capacity = int(min(capacity, len(hot_order)))
         hot = np.sort(np.asarray(hot_order[:capacity], np.int32))
-        rows = np.ascontiguousarray(host_features[hot], np.float32)
+        rows = np.ascontiguousarray(host_features[hot]).astype(dtype)
         return cls(jnp.asarray(hot), jnp.asarray(rows), host_features,
                    miss_cap)
 
@@ -127,9 +140,10 @@ class FeatureCache:
 
     def stage(self, miss_ids: np.ndarray) -> np.ndarray:
         """Host-side gather of miss rows (numpy fallback; the C++ runtime
-        provides a threaded version — legion_tpu.runtime)."""
+        provides a threaded version — legion_tpu.runtime). Rows are
+        returned in the cache dtype so staging bytes match it."""
         ids = np.asarray(miss_ids)
         safe = np.clip(ids, 0, self.host_features.shape[0] - 1)
-        rows = np.asarray(self.host_features[safe], np.float32)
+        rows = self.host_features[safe].astype(self.np_dtype)
         rows[ids < 0] = 0.0
         return rows

@@ -105,7 +105,16 @@ class CachedTrainer:
                                  fanouts, self.caps, dedup_last=True)
             plan = FeatureCache.plan_ids(hot_ids, batch.frontier,
                                          cache.miss_cap)
-            return batch, plan
+            # [hit, miss, valid, overflow | miss_ids]: ONE device->host
+            # transfer per step carries everything the host loop needs —
+            # per-scalar fetches cost a full round-trip each (brutal on
+            # a tunneled TPU: 4 extra RTTs/step measured as ~10x epoch
+            # slowdown at 100% hit rate).
+            packed = jnp.concatenate([
+                jnp.stack([plan.num_hit, plan.num_miss, plan.num_valid,
+                           plan.overflow()]),
+                plan.miss_ids])
+            return batch, plan, packed
 
         train_from, eval_from = make_cache_step_fns(cfg, model)
         self.jit_sample_plan = jax.jit(sample_plan)
@@ -143,22 +152,23 @@ class CachedTrainer:
         for i in range(min(depth, steps)):
             dispatch(i)
         for i in range(steps):
-            batch, plan = inflight.pop(0)
-            # host staging: blocks only on this step's plan
-            miss_ids = np.asarray(plan.miss_ids)
-            staged = self.host_stage(miss_ids)
+            batch, plan, packed = inflight.pop(0)
+            # host staging: ONE device->host transfer (stats + miss ids)
+            packed = np.asarray(packed)
+            n_hit, n_miss, n_valid, n_over = (int(x) for x in packed[:4])
+            staged = self.host_stage(packed[4:])
             state, loss = self.jit_train_from(state, self.cache.rows,
                                               batch, plan,
                                               jnp.asarray(staged))
             if i + depth < steps:
                 dispatch(i + depth)
             losses.append(loss)
-            hits += int(plan.num_hit)
-            misses += int(plan.num_miss)
-            valid += int(plan.num_valid)
-            overflow += int(plan.overflow())
-            host_bytes += (min(int(plan.num_miss), staged.shape[0])
-                           * staged.shape[1] * 4)
+            hits += n_hit
+            misses += n_miss
+            valid += n_valid
+            overflow += n_over
+            host_bytes += (min(n_miss, staged.shape[0])
+                           * staged.shape[1] * staged.dtype.itemsize)
 
         last_loss = float(jax.device_get(losses[-1])) if losses else float("nan")
         dt = time.perf_counter() - t0
@@ -178,11 +188,11 @@ class CachedTrainer:
         a_sum = b_sum = 0.0
         for t in range(seeds.shape[0]):
             key, sub = jax.random.split(key)
-            batch, plan = self.jit_sample_plan(
+            batch, plan, packed = self.jit_sample_plan(
                 sub, self.graph, self.cache.hot_ids, jnp.asarray(seeds[t]),
                 jnp.full((), int(counts[t]), jnp.int32),
                 jnp.asarray(labels[t]))
-            staged = self.host_stage(np.asarray(plan.miss_ids))
+            staged = self.host_stage(np.asarray(packed)[4:])
             a, b = self.jit_eval_from(params, self.cache.rows, batch, plan,
                                       jnp.asarray(staged))
             a_sum += float(jax.device_get(a))

@@ -59,10 +59,18 @@ def run_cached_training(cfg: Config, data: GraphData, log=print) -> Dict:
         f"max frontier {int(hot.max_frontier)}/{loose_caps[-1]}")
 
     # ---- cost model + cache build -----------------------------------------
+    # cache rows + staging run in the model compute dtype: bf16 halves
+    # both row bytes (2x rows per HBM budget) and host->device staging
+    # bytes, and x is cast to bf16 by the model anyway.
+    if cfg.model.dtype == "bfloat16":
+        import ml_dtypes
+        cache_dtype, row_bytes = ml_dtypes.bfloat16, data.feature_dim * 2
+    else:
+        cache_dtype, row_bytes = np.float32, data.feature_dim * 4
     cost = solve_cost_model(
         np.asarray(hot.node_hot), np.asarray(hot.edge_hot),
         data.degrees(), cfg.cache.budget_bytes,
-        feat_row_bytes=data.feature_dim * 4,
+        feat_row_bytes=row_bytes,
         group_size=cfg.cache.group_size,
         granularity=cfg.cache.cost_model_granularity)
     log(f"cost model: alpha={cost.alpha:.2f} feat_cap={cost.feat_capacity} "
@@ -92,7 +100,8 @@ def run_cached_training(cfg: Config, data: GraphData, log=print) -> Dict:
     log(f"staging: expected {miss_per_step:.0f} misses/step, "
         f"miss_cap {miss_cap} (frontier cap {caps[-1]})")
     cache = FeatureCache.build(np.asarray(data.features), cost.feat_order,
-                               cost.feat_capacity, miss_cap=miss_cap)
+                               cost.feat_capacity, miss_cap=miss_cap,
+                               dtype=cache_dtype)
 
     # ---- model/state init -------------------------------------------------
     model = build_model(cfg.model.arch, cfg.model.hidden_dim, num_classes,
@@ -113,7 +122,8 @@ def run_cached_training(cfg: Config, data: GraphData, log=print) -> Dict:
     from legion_tpu.runtime import gather_rows
     host_feats = np.asarray(data.features)
     tr = CachedTrainer(cfg, model, caps, graph, cache,
-                       host_stage=lambda ids: gather_rows(host_feats, ids))
+                       host_stage=lambda ids: gather_rows(
+                           host_feats, ids).astype(cache_dtype))
     history = []
     labels_all = np.asarray(data.labels)
 
@@ -149,10 +159,11 @@ def run_cached_training(cfg: Config, data: GraphData, log=print) -> Dict:
             cache = FeatureCache.build(np.asarray(data.features),
                                        cost.feat_order,
                                        cost.feat_capacity,
-                                       miss_cap=miss_cap)
+                                       miss_cap=miss_cap,
+                                       dtype=cache_dtype)
             tr = CachedTrainer(cfg, model, caps, graph, cache,
                                host_stage=lambda ids: gather_rows(
-                                   host_feats, ids))
+                                   host_feats, ids).astype(cache_dtype))
         r["epoch"] = epoch
         r["valid"] = eval_set(np.asarray(data.valid_ids),
                               plan.valid_steps, plan.valid_batch[0])

@@ -93,9 +93,16 @@ def run_hybrid_training(cfg: Config, data: GraphData, log=print) -> Dict:
     log(f"host presampling: {steps} steps in {time.perf_counter()-t0:.1f}s")
 
     # ---- cost model: split budget between feature + topo caches ------------
+    # cache/staging dtype follows the model compute dtype (see
+    # cached_driver: bf16 = 2x rows per budget, half staging bytes)
+    if cfg.model.dtype == "bfloat16":
+        import ml_dtypes
+        cache_dtype, row_bytes = ml_dtypes.bfloat16, data.feature_dim * 2
+    else:
+        cache_dtype, row_bytes = np.float32, data.feature_dim * 4
     cost = solve_cost_model(node_hot, edge_hot, data.degrees(),
                             cfg.cache.budget_bytes,
-                            feat_row_bytes=data.feature_dim * 4,
+                            feat_row_bytes=row_bytes,
                             group_size=cfg.cache.group_size,
                             granularity=cfg.cache.cost_model_granularity)
     log(f"cost model: alpha={cost.alpha:.2f} feat_cap={cost.feat_capacity} "
@@ -106,7 +113,8 @@ def run_hybrid_training(cfg: Config, data: GraphData, log=print) -> Dict:
                            cost.topo_capacity)
     miss_cap = int(min(caps[-1], (caps[-1] // 16 + 1024 + 127) // 128 * 128))
     cache = FeatureCache.build(np.asarray(data.features), cost.feat_order,
-                               cost.feat_capacity, miss_cap=miss_cap)
+                               cost.feat_capacity, miss_cap=miss_cap,
+                               dtype=cache_dtype)
     hs = HybridSampler(topo, indptr, indices, fanouts, caps)
 
     # ---- model/state -------------------------------------------------------
@@ -136,20 +144,25 @@ def run_hybrid_training(cfg: Config, data: GraphData, log=print) -> Dict:
         s, _ = epoch_train_seeds(ep_rng, shards, plan)
         t0 = time.perf_counter()
         losses = []
-        hits = valid = 0
+        # hit/valid accumulate as DEVICE scalars (dispatch, no fetch):
+        # per-step int() fetches are full round-trips — ruinous on a
+        # tunneled TPU (see cache/pipeline.py).
+        hits = valid = jnp.zeros((), jnp.int32)
         for i in range(s[0].shape[0]):
             key, sub = jax.random.split(key)
             batch = hs.sample_batch(sub, jnp.asarray(s[0][i]), b,
                                     jnp.asarray(labels_all[s[0][i]]),
                                     host_seed=epoch * 100003 + i)
             cp = jit_plan(cache.hot_ids, batch.frontier, cache.miss_cap)
-            staged = gather_rows(host_feats, np.asarray(cp.miss_ids))
+            staged = gather_rows(host_feats,
+                                 np.asarray(cp.miss_ids)).astype(cache_dtype)
             state, loss = jit_train(state, cache.rows, batch, cp,
                                     jnp.asarray(staged))
             losses.append(loss)
-            hits += int(cp.num_hit)
-            valid += int(cp.num_valid)
+            hits = hits + cp.num_hit
+            valid = valid + cp.num_valid
         dt = time.perf_counter() - t0
+        hits, valid = (int(x) for x in jax.device_get((hits, valid)))
         rec = {"epoch": epoch, "seconds": dt,
                "loss": float(jax.device_get(losses[-1])),
                "feat_hit_rate": hits / max(valid, 1),

@@ -115,3 +115,27 @@ def test_cached_matches_uncached_when_cache_holds_all(small_graph):
                     jax.tree_util.tree_leaves(st2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_cached_training_bf16_cache(small_graph):
+    """bf16 model => bf16 cache rows + staging: runs end-to-end through
+    run_cached_training, hit rate sane, loss finite, staged dtype bf16."""
+    import ml_dtypes
+    from legion_tpu.config import (CacheConfig, Config, DatasetConfig,
+                                   ModelConfig, SamplerConfig, TrainConfig)
+    from legion_tpu.train.cached_driver import run_cached_training
+    cfg = Config(
+        dataset=DatasetConfig(num_classes=small_graph.num_classes,
+                              feature_placement="host"),
+        sampler=SamplerConfig(fanouts=(4, 3), batch_size=64,
+                              dedup_last=True, probe_caps=False),
+        model=ModelConfig(arch="sage", hidden_dim=32, num_layers=2,
+                          dropout=0.0, dtype="bfloat16"),
+        train=TrainConfig(epochs=1, learning_rate=0.01),
+        cache=CacheConfig(enabled=True, budget_bytes=64 * 1024),
+    )
+    res = run_cached_training(cfg, small_graph, log=lambda s: None)
+    h = res["history"][-1]
+    assert np.isfinite(h["loss"])
+    assert 0.0 < h["cache_hit_rate"] <= 1.0
+    assert h["host_gb"] > 0.0
