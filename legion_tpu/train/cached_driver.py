@@ -95,10 +95,43 @@ def run_cached_training(cfg: Config, data: GraphData, log=print) -> Dict:
     def _round128(x):
         return (int(x) + 127) // 128 * 128
 
+    # The presample-based estimate is BIASED LOW: the cache is built from
+    # the very hotness the presample measured, so every presampled id with
+    # nonzero count tends to be cached and short presampling predicts ~0
+    # misses — while fresh epochs keep drawing never-seen cold ids
+    # (measured at PA scale: "expected 0" vs a real ~46% miss rate).
+    # Correct it with an UNBIASED probe: sample a couple of fresh batches
+    # against the built hot set and count real misses.
+    hot_ids_probe = jnp.asarray(np.sort(cached_ids.astype(np.int32)))
+
+    def _probe(key, g, hot_sorted, seeds_b, labels_b):
+        # g/hot_sorted are ARGUMENTS: closing over them would bake ~7GB
+        # of device arrays into the program as literals (see
+        # FeatureCache's jit discipline note).
+        batch = sample_batch(key, g, seeds_b,
+                             jnp.full((), b, jnp.int32), labels_b,
+                             fanouts, tuple(caps), dedup_last=True)
+        plan = FeatureCache.plan_ids(hot_sorted, batch.frontier, 128)
+        return plan.num_miss
+
+    jprobe = jax.jit(_probe)
+    prng = np.random.default_rng(cfg.train.seed * 31 + 7)
+    ids_all = np.asarray(shards[0])
+    probe_miss = 0
+    for i in range(2):
+        sb = prng.permutation(ids_all)[:b].astype(np.int32)
+        if len(sb) < b:
+            sb = np.pad(sb, (0, b - len(sb)), constant_values=-1)
+        probe_miss = max(probe_miss, int(jprobe(
+            jax.random.PRNGKey(9000 + i), graph, hot_ids_probe,
+            jnp.asarray(sb), jnp.zeros((b,), jnp.int32))))
+    miss_per_step = max(miss_per_step, probe_miss)
+
     miss_cap = int(min(caps[-1],
-                       _round128(miss_per_step * 2.0 + caps[-1] / 16 + 1024)))
-    log(f"staging: expected {miss_per_step:.0f} misses/step, "
-        f"miss_cap {miss_cap} (frontier cap {caps[-1]})")
+                       _round128(miss_per_step * 1.5 + caps[-1] / 16 + 1024)))
+    log(f"staging: expected {miss_per_step:.0f} misses/step "
+        f"(probe max {probe_miss}), miss_cap {miss_cap} "
+        f"(frontier cap {caps[-1]})")
     cache = FeatureCache.build(np.asarray(data.features), cost.feat_order,
                                cost.feat_capacity, miss_cap=miss_cap,
                                dtype=cache_dtype)

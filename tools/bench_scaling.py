@@ -21,6 +21,18 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 import jax
 
+# The container's sitecustomize registers the TPU backend at interpreter
+# startup, so JAX_PLATFORMS/XLA_FLAGS env vars are read too early to
+# select the virtual CPU mesh — force it via jax.config while backends
+# are uninitialized (same workaround as tests/conftest.py). Set
+# SCALING_ON_TPU=1 to deliberately measure on real chips instead.
+if not os.environ.get("SCALING_ON_TPU"):
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+    except RuntimeError:
+        pass  # backend already live
+
 
 def main():
     if jax.default_backend() == "cpu":
