@@ -109,3 +109,46 @@ def test_trainer_three_hop(small_graph):
     rec = tr.train_one_epoch(0)
     acc = tr.evaluate("valid")
     assert np.isfinite(rec["loss"]) and 0.0 <= acc <= 1.0
+
+
+def test_cap_overflow_metric_fires(small_graph):
+    """Deliberately undersized frontier caps must be REPORTED via the
+    cap_overflow metric (silently thinned neighborhoods are the failure
+    mode the guard exists for)."""
+    import jax
+    import jax.numpy as jnp
+    from legion_tpu.config import (Config, DatasetConfig, ModelConfig,
+                                   SamplerConfig, TrainConfig)
+    from legion_tpu.data.format import pad_feature_dim
+    from legion_tpu.models import build_model
+    from legion_tpu.sampling.sampler import DeviceGraph, gather_features, sample_batch
+    from legion_tpu.train.loop import make_step_fns
+    from legion_tpu.train.train_state import create_train_state
+
+    b = 64
+    cfg = Config(dataset=DatasetConfig(num_classes=small_graph.num_classes),
+                 sampler=SamplerConfig(fanouts=(8, 4), batch_size=b,
+                                       dedup_last=False),
+                 model=ModelConfig(arch="sage", hidden_dim=16, num_layers=2,
+                                   dropout=0.0),
+                 train=TrainConfig(learning_rate=0.01))
+    # hop-1 cap too small to hold the realized uniques; last cap exact
+    caps = (b, b + 16, (b + 16) * 5)
+    model = build_model("sage", 16, small_graph.num_classes, 2, 0.0)
+    graph = DeviceGraph.from_host(small_graph.indptr, small_graph.indices)
+    feats = jnp.asarray(pad_feature_dim(
+        np.asarray(small_graph.features, np.float32), 1))
+    seeds = jnp.asarray(np.arange(b, dtype=np.int32))
+    labels = jnp.zeros((b,), jnp.int32)
+    batch = sample_batch(jax.random.PRNGKey(0), graph, seeds,
+                         jnp.full((), b, jnp.int32), labels, (8, 4), caps,
+                         dedup_last=False)
+    x = gather_features(feats, batch.frontier)
+    params = model.init(jax.random.PRNGKey(0),
+                        tuple(reversed(batch.blocks)), x,
+                        deterministic=True)["params"]
+    state = create_train_state(params, 0.01, 0)
+    fns = make_step_fns(cfg, model, caps)
+    _, metrics = jax.jit(fns.train_step)(
+        state, graph, feats, seeds, jnp.full((), b, jnp.int32), labels)
+    assert int(metrics["cap_overflow"]) > 0
