@@ -57,6 +57,9 @@ DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 # cut the dominant feature gather by 13% (caps scale every stage):
 # 3.93e7 -> 4.83e7 edges/s.
 SLACK = float(os.environ.get("BENCH_SLACK", 1.05))
+# PRNG impl changes the draws, hence observed frontier maxima -> it is
+# part of the caps/baseline memo keys.
+PRNG = os.environ.get("BENCH_PRNG", "rbg")
 FANOUTS = (25, 10)
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_cache")
@@ -87,8 +90,9 @@ def probe_caps(graph, seeds, labels):
 
     Intermediate hops are tightened from observation (they dedup); the
     last cap is the exact identity-append extent (dedup_last=False)."""
-    memo = os.path.join(CACHE_DIR,
-                        f"caps_nd_{NODES}_{DEG}_{BATCH}_s{SLACK}.json")
+    memo = os.path.join(
+        CACHE_DIR, f"caps_nd_{NODES}_{DEG}_{BATCH}_s{SLACK}"
+        + ("" if PRNG == "rbg" else f"_{PRNG}") + ".json")
     if os.path.exists(memo):
         caps = tuple(json.load(open(memo)))
         log(f"observed caps from cache: {caps}")
@@ -167,8 +171,7 @@ def main():
     # distributions, different stream): threefry is VPU-heavy at
     # (frontier x hidden) dropout shapes — measured -0.7 ms/step.
     try:
-        jax.config.update("jax_default_prng_impl",
-                          os.environ.get("BENCH_PRNG", "rbg"))
+        jax.config.update("jax_default_prng_impl", PRNG)
     except Exception as e:
         log(f"prng impl pin unavailable: {e}")
 
@@ -200,7 +203,8 @@ def main():
     # the remote compile service's latency varies 50s..510s per program.
     # Delete .bench_cache/baseline_*.json to force a re-measure.
     memo = os.path.join(
-        CACHE_DIR, f"baseline_{NODES}_{DEG}_{BATCH}_{DTYPE}_s{SLACK}.json")
+        CACHE_DIR, f"baseline_{NODES}_{DEG}_{BATCH}_{DTYPE}_s{SLACK}"
+        + ("" if PRNG == "rbg" else f"_{PRNG}") + ".json")
     if os.path.exists(memo):
         eps_coo = json.load(open(memo))["edges_per_s"]
         log(f"[coo_segment] baseline from cache: {eps_coo:.3e} edges/s")

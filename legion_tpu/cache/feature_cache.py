@@ -24,6 +24,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def cache_dtype_for(model_dtype: str, feature_dim: int):
+    """(numpy storage dtype, bytes per cached row) for a model compute
+    dtype — the single place the bf16-cache policy lives: bf16 training
+    stores cache rows + staged misses in bf16 (2x rows per HBM budget,
+    half the host->device bytes; the model casts x to bf16 anyway)."""
+    if model_dtype == "bfloat16":
+        import ml_dtypes
+        return ml_dtypes.bfloat16, feature_dim * 2
+    return np.float32, feature_dim * 4
+
+
 class CachePlan(NamedTuple):
     slot: jnp.ndarray        # (M,) int32 cache slot (valid where hit)
     hit: jnp.ndarray         # (M,) bool

@@ -77,6 +77,11 @@ def _kernel(x_hbm, mask_ref, out_ref, scratch, sems, *,
     out_ref[:] = agg.astype(out_ref.dtype)
 
 
+# VMEM budget for the double-buffered row scratch (2 x TILE_P x f x D
+# f32). v5e has ~16 MiB/core; leave room for the mask/S/out tiles.
+_SCRATCH_VMEM_LIMIT = 8 << 20
+
+
 def supported(x: jnp.ndarray, nbr_mask: jnp.ndarray,
               identity_offset: int) -> bool:
     p, f = nbr_mask.shape
@@ -84,7 +89,8 @@ def supported(x: jnp.ndarray, nbr_mask: jnp.ndarray,
             and x.dtype == jnp.float32
             and p % TILE_P == 0
             and x.shape[1] % 128 == 0
-            and x.shape[0] >= identity_offset + p * f)
+            and x.shape[0] >= identity_offset + p * f
+            and 2 * TILE_P * f * x.shape[1] * 4 <= _SCRATCH_VMEM_LIMIT)
 
 
 @functools.partial(jax.jit,

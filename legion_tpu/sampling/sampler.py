@@ -67,15 +67,19 @@ class DeviceGraph:
 
     @classmethod
     def from_host(cls, indptr, indices, window_lines: int = 2,
-                  layout: str = "aligned") -> "DeviceGraph":
+                  layout: str = "aligned",
+                  aligned_max_expand: float = 2.0) -> "DeviceGraph":
         """layout:
         * "aligned" (default): adjacency runs re-packed so every run of
           degree <= 64 starts at a 64-lane boundary and every larger run
           at a 128-lane (512B line) boundary — no run with deg <= 128
-          straddles a line. Costs <= 2x topology HBM in the worst case
-          (measured ~1.5x at products-scale synthetic) and roughly halves
-          per-hop sampling time vs "windowed". Skipped (falls back to
-          windowed) if the padded array would exceed 2^31 lanes.
+          straddles a line. Placement is two-region (all >64-degree runs
+          first, then all 64-slot runs) so both alignment classes hold
+          exactly. Roughly halves per-hop sampling time vs "windowed"
+          (measured ~1.3x topology HBM at products-scale degree ~50).
+          Falls back to windowed when padding would exceed
+          ``aligned_max_expand`` x the edge count (low-degree graphs pad
+          up to 64x) or 2^31 lanes.
         * "windowed": indices kept verbatim (zero-padded to a 128
           multiple); runs may straddle, so sampling fetches
           ``window_lines`` lines per node.
@@ -92,9 +96,18 @@ class DeviceGraph:
                             np.where(deg <= 64, 64,
                                      (deg + 127) // 128 * 128))
             epad = int(size.sum())
-            if epad < 2 ** 31:
-                astart = np.zeros(deg.shape[0], np.int64)
-                np.cumsum(size[:-1], out=astart[1:])
+            if epad < 2 ** 31 and epad <= aligned_max_expand * max(e, 1):
+                # two-region placement: big (>64) runs first — cumsum of
+                # 128-multiples keeps every one 128-aligned — then the
+                # 64-slot runs (64-aligned within a 128-aligned base; a
+                # deg<=64 run at a 64 boundary never straddles a line).
+                big = deg > 64
+                astart = np.empty(deg.shape[0], np.int64)
+                bsz = size[big]
+                astart[big] = np.cumsum(bsz) - bsz
+                base = int(bsz.sum())          # multiple of 128
+                ssz = size[~big]
+                astart[~big] = base + np.cumsum(ssz) - ssz
                 packed = np.zeros(max(128, (epad + 127) // 128 * 128),
                                   np.int32)
                 dst = np.repeat(astart - indptr[:-1], deg) + np.arange(

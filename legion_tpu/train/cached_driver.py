@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from legion_tpu.cache.cost_model import solve_cost_model
-from legion_tpu.cache.feature_cache import FeatureCache
+from legion_tpu.cache.feature_cache import FeatureCache, cache_dtype_for
 from legion_tpu.cache.hotness import observed_caps, presample_hotness
 from legion_tpu.cache.pipeline import CachedTrainer
 from legion_tpu.config import Config
@@ -59,14 +59,8 @@ def run_cached_training(cfg: Config, data: GraphData, log=print) -> Dict:
         f"max frontier {int(hot.max_frontier)}/{loose_caps[-1]}")
 
     # ---- cost model + cache build -----------------------------------------
-    # cache rows + staging run in the model compute dtype: bf16 halves
-    # both row bytes (2x rows per HBM budget) and host->device staging
-    # bytes, and x is cast to bf16 by the model anyway.
-    if cfg.model.dtype == "bfloat16":
-        import ml_dtypes
-        cache_dtype, row_bytes = ml_dtypes.bfloat16, data.feature_dim * 2
-    else:
-        cache_dtype, row_bytes = np.float32, data.feature_dim * 4
+    cache_dtype, row_bytes = cache_dtype_for(cfg.model.dtype,
+                                             data.feature_dim)
     cost = solve_cost_model(
         np.asarray(hot.node_hot), np.asarray(hot.edge_hot),
         data.degrees(), cfg.cache.budget_bytes,

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from legion_tpu.cache.cost_model import solve_cost_model
-from legion_tpu.cache.feature_cache import FeatureCache
+from legion_tpu.cache.feature_cache import FeatureCache, cache_dtype_for
 from legion_tpu.cache.hotness import observed_caps
 from legion_tpu.cache.hybrid import HybridSampler
 from legion_tpu.cache.pipeline import make_cache_step_fns
@@ -93,13 +93,8 @@ def run_hybrid_training(cfg: Config, data: GraphData, log=print) -> Dict:
     log(f"host presampling: {steps} steps in {time.perf_counter()-t0:.1f}s")
 
     # ---- cost model: split budget between feature + topo caches ------------
-    # cache/staging dtype follows the model compute dtype (see
-    # cached_driver: bf16 = 2x rows per budget, half staging bytes)
-    if cfg.model.dtype == "bfloat16":
-        import ml_dtypes
-        cache_dtype, row_bytes = ml_dtypes.bfloat16, data.feature_dim * 2
-    else:
-        cache_dtype, row_bytes = np.float32, data.feature_dim * 4
+    cache_dtype, row_bytes = cache_dtype_for(cfg.model.dtype,
+                                             data.feature_dim)
     cost = solve_cost_model(node_hot, edge_hot, data.degrees(),
                             cfg.cache.budget_bytes,
                             feat_row_bytes=row_bytes,
@@ -144,11 +139,14 @@ def run_hybrid_training(cfg: Config, data: GraphData, log=print) -> Dict:
         s, _ = epoch_train_seeds(ep_rng, shards, plan)
         t0 = time.perf_counter()
         losses = []
-        # hit/valid accumulate as DEVICE scalars (dispatch, no fetch):
-        # per-step int() fetches are full round-trips — ruinous on a
-        # tunneled TPU (see cache/pipeline.py).
-        hits = valid = jnp.zeros((), jnp.int32)
-        for i in range(s[0].shape[0]):
+        # The per-step hit RATE accumulates as an f32 DEVICE scalar
+        # (dispatch, no fetch): per-step int() fetches are full
+        # round-trips — ruinous on a tunneled TPU (see cache/pipeline.py)
+        # — and int32 count accumulators would wrap at uk-scale epochs
+        # (~1.5M valid/step x 1400+ steps > 2^31).
+        rate_sum = jnp.zeros((), jnp.float32)
+        steps = s[0].shape[0]
+        for i in range(steps):
             key, sub = jax.random.split(key)
             batch = hs.sample_batch(sub, jnp.asarray(s[0][i]), b,
                                     jnp.asarray(labels_all[s[0][i]]),
@@ -159,13 +157,14 @@ def run_hybrid_training(cfg: Config, data: GraphData, log=print) -> Dict:
             state, loss = jit_train(state, cache.rows, batch, cp,
                                     jnp.asarray(staged))
             losses.append(loss)
-            hits = hits + cp.num_hit
-            valid = valid + cp.num_valid
+            rate_sum = rate_sum + (cp.num_hit.astype(jnp.float32)
+                                   / jnp.maximum(cp.num_valid, 1)
+                                   .astype(jnp.float32))
         dt = time.perf_counter() - t0
-        hits, valid = (int(x) for x in jax.device_get((hits, valid)))
         rec = {"epoch": epoch, "seconds": dt,
                "loss": float(jax.device_get(losses[-1])),
-               "feat_hit_rate": hits / max(valid, 1),
+               "feat_hit_rate": float(jax.device_get(rate_sum))
+               / max(steps, 1),
                "topo_hot_fraction": hs.hot_fraction(),
                "host_topo_gb": hs.stats["host_bytes"] / 2**30}
         history.append(rec)

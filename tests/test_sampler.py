@@ -206,7 +206,7 @@ def test_line_layouts_match_per_edge(small_graph):
     gw = DeviceGraph.from_host(small_graph.indptr, small_graph.indices,
                                layout="windowed")
     ga = DeviceGraph.from_host(small_graph.indptr, small_graph.indices,
-                               layout="aligned")
+                               layout="aligned", aligned_max_expand=1e9)
     assert ga.astart is not None and gw.astart is None
     frontier = jnp.asarray(
         np.r_[np.arange(200), [-1, -1]].astype(np.int32))
@@ -216,6 +216,46 @@ def test_line_layouts_match_per_edge(small_graph):
         for g in (gw, ga):
             a = sample_neighbors(jax.random.PRNGKey(k), g, frontier, 7)
             assert (np.asarray(a) == np.asarray(ref)).all()
+
+
+def test_aligned_layout_midsize_runs_dont_straddle():
+    """Regression: a (64 < deg <= 128) run preceded by an ODD number of
+    64-slot runs must still start on a 128 boundary — a plain cumsum
+    placement put it at offset % 128 == 64, straddling a line, and the
+    covered-path select silently clamped draws to lane 127 (wrong
+    neighbors). Mixed degrees 1..200 sweep, bit-identical to per-edge."""
+    from legion_tpu.sampling.sampler import sample_neighbors_per_edge
+    rng = np.random.default_rng(7)
+    # deg=[10, 100]: the original reproducer; then a randomized sweep
+    for deg in ([10, 100],
+                rng.integers(1, 200, size=500).tolist(),
+                [64, 65, 128, 129, 63, 1, 127, 66] * 8):
+        deg = np.asarray(deg, np.int64)
+        n = len(deg)
+        indptr = np.zeros(n + 1, np.int64)
+        np.cumsum(deg, out=indptr[1:])
+        indices = rng.integers(0, n, size=indptr[-1]).astype(np.int32)
+        g = DeviceGraph.from_host(indptr, indices, layout="aligned",
+                                  aligned_max_expand=1e9)
+        assert g.astart is not None
+        sa = np.asarray(g.astart)
+        straddle = (deg <= 128) & ((sa % 128) + deg > 128)
+        assert not straddle.any(), np.where(straddle)[0][:5]
+        frontier = jnp.asarray(np.r_[np.arange(n), [-1]].astype(np.int32))
+        a = sample_neighbors(jax.random.PRNGKey(5), g, frontier, 64)
+        b = sample_neighbors_per_edge(jax.random.PRNGKey(5), g,
+                                      frontier, 64)
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_aligned_layout_expand_guard():
+    """Low-degree graphs must fall back to windowed: 64-slot padding of
+    degree-1 runs would cost up to 64x topology HBM."""
+    n = 1000
+    indptr = np.arange(n + 1, dtype=np.int64)        # every degree 1
+    indices = np.zeros(n, np.int32)
+    g = DeviceGraph.from_host(indptr, indices, layout="aligned")
+    assert g.astart is None                          # fell back
 
 
 def test_line_tail_path_exercised():

@@ -71,13 +71,18 @@ def main():
 
     from legion_tpu.config import (CacheConfig, Config, DatasetConfig,
                                    ModelConfig, SamplerConfig, TrainConfig)
-    from legion_tpu.sampling.sampler import DeviceGraph
     from legion_tpu.train.cached_driver import run_cached_training
 
-    g = DeviceGraph.from_host(data.indptr, data.indices)
-    assert g.astart is None, "expected windowed fallback at PA degree"
-    assert g.num_nodes >= (1 << 24), "big-id select path must be exercised"
-    del g
+    # layout/coverage preconditions checked from numpy shapes — building
+    # a throwaway DeviceGraph here would push ~7GB through the tunnel
+    # twice (run_cached_training builds its own)
+    deg = np.diff(np.asarray(data.indptr))
+    pad_lanes = int(np.where(deg == 0, 0,
+                             np.where(deg <= 64, 64,
+                                      (deg + 127) // 128 * 128)).sum())
+    assert pad_lanes > 2.0 * data.num_edges or pad_lanes >= 2 ** 31, \
+        "expected the aligned layout to fall back to windowed at PA degree"
+    assert data.num_nodes >= (1 << 24), "big-id select must be exercised"
 
     cfg = Config(
         dataset=DatasetConfig(name="synthetic-PA", num_classes=172,
