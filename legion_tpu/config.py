@@ -106,6 +106,10 @@ class TrainConfig:
     checkpoint_dir: Optional[str] = None
     checkpoint_every_steps: int = 0     # 0 = only at epoch end when dir set
     log_every_steps: int = 50
+    # When set, epoch 0 is captured with the JAX profiler into this
+    # directory (inspect with tools/profile_hlo.summarize or
+    # tensorboard). The framework's tracing hook (SURVEY.md §5).
+    profile_dir: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -325,11 +325,16 @@ class Trainer:
         rng = np.random.default_rng(self.cfg.train.seed * 100003 + epoch)
         seeds, _ = epoch_train_seeds(rng, [self.shards_train[shard]], self.plan)
         labels = np.asarray(self.data.labels)[seeds[0]]
+        import contextlib
+        prof = (jax.profiler.trace(self.cfg.train.profile_dir)
+                if self.cfg.train.profile_dir and epoch == 0
+                else contextlib.nullcontext())
         t0 = time.perf_counter()
-        self.state, losses, (edges, overflow) = self.jit_epoch(
-            self.state, self.graph, self.features,
-            jnp.asarray(seeds[0]), jnp.asarray(labels))
-        losses = jax.device_get(losses)
+        with prof:
+            self.state, losses, (edges, overflow) = self.jit_epoch(
+                self.state, self.graph, self.features,
+                jnp.asarray(seeds[0]), jnp.asarray(labels))
+            losses = jax.device_get(losses)
         dt = time.perf_counter() - t0
         overflow = int(jax.device_get(overflow))
         if overflow > 0:

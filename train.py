@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture epoch 0 with the JAX profiler into DIR")
     ap.add_argument("--cache-budget-gb", type=float, default=0.0,
                     help=">0 enables the hotness cache (host features)")
     ap.add_argument("--topology", default="hbm", choices=["hbm", "host"],
@@ -85,7 +87,8 @@ def main():
                               dropout=args.dropout, dtype=args.dtype),
             train=TrainConfig(learning_rate=args.lr, epochs=args.epochs,
                               seed=args.seed,
-                              checkpoint_dir=args.checkpoint_dir),
+                              checkpoint_dir=args.checkpoint_dir,
+                              profile_dir=args.profile_dir),
             cache=CacheConfig(enabled=args.cache_budget_gb > 0,
                               budget_bytes=int(args.cache_budget_gb * 2**30)),
         )
