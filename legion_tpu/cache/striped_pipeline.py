@@ -227,6 +227,11 @@ class StripedCachedTrainer:
             host_bytes += int(np.minimum(stats[:, 1],
                                          self.cache.miss_cap).sum()
                               ) * dim * itemsize
+            ck = self.cfg.train
+            if (ck.checkpoint_dir and ck.checkpoint_every_steps
+                    and (i + 1) % ck.checkpoint_every_steps == 0):
+                from legion_tpu.train.train_state import save_checkpoint
+                save_checkpoint(ck.checkpoint_dir, state)
 
         last_loss = float(jax.device_get(losses[-1])) if losses else float("nan")
         dt = time.perf_counter() - t0

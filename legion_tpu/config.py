@@ -70,7 +70,6 @@ class SamplerConfig:
     probe_caps: bool = True
     probe_caps_min_cap: int = 262144
     probe_caps_batches: int = 3
-    drop_last: bool = True              # train_step = (min-1)/batch, src/CUDA_IPC_Service.cu:88
     # Dedup the FINAL hop's frontier. False (default) is the TPU-native
     # fast path: the last hop is identity-appended (sampler.append_frontier)
     # — dedup sorts cost more than the duplicate HBM feature gathers they
@@ -104,7 +103,10 @@ class TrainConfig:
     # PIPELINE_DEPTH 2, src/Server.cu:15).
     pipeline_depth: int = 2
     checkpoint_dir: Optional[str] = None
-    checkpoint_every_steps: int = 0     # 0 = only at epoch end when dir set
+    # >0: the cached/striped trainers also save mid-epoch every N steps
+    # (epoch-end saves always happen when checkpoint_dir is set) — the
+    # crash-resilience knob for the longest runs.
+    checkpoint_every_steps: int = 0
     log_every_steps: int = 50
     # When set, epoch 0 is captured with the JAX profiler into this
     # directory (inspect with tools/profile_hlo.summarize or
@@ -126,19 +128,19 @@ class CacheConfig:
     budget_bytes: int = 4 << 30
     group_size: int = 1                 # Kg analog; 1 = replicated cache
     cost_model_granularity: float = 0.01  # MIN_INTERVAL, src/GPUCache.cu:30
-    payload_bytes: int = 64             # CLS, src/GPUCache.cu:31
     presample_steps: int = 0            # 0 = one full epoch
 
 
 @dataclasses.dataclass(frozen=True)
 class ParallelConfig:
-    """Device-mesh layout. ``data`` x ``cache_group`` axes; reference
-    analog: per-GPU DP runners x NVLink cliques (Kc x Kg,
-    ``src/GPUCache.cu:590-612``)."""
+    """Device-mesh layout: a (data x cache) mesh of ``num_devices``
+    chips with cache groups of ``CacheConfig.group_size`` along the
+    ``cache`` axis. Reference analog: per-GPU DP runners x NVLink
+    cliques (Kc x Kg, ``src/GPUCache.cu:590-612``). Consumed by
+    parallel.mesh.make_mesh via parallel.trainer.MeshTrainer and
+    train.striped_driver."""
 
     num_devices: int = 0                # 0 = all local devices
-    data_axis: str = "data"
-    donate_state: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -156,15 +158,21 @@ class Config:
     @staticmethod
     def from_json(s: str) -> "Config":
         d = json.loads(s)
+
+        def mk(cls, sub):  # tolerate keys from older config versions
+            names = {f.name for f in dataclasses.fields(cls)}
+            return cls(**{k: v for k, v in sub.items() if k in names})
+
+        sampler = dict(d.get("sampler", {}))
+        if "fanouts" in sampler:
+            sampler["fanouts"] = tuple(sampler["fanouts"])
         return Config(
-            dataset=DatasetConfig(**d.get("dataset", {})),
-            sampler=SamplerConfig(**{**d.get("sampler", {}),
-                                     **({"fanouts": tuple(d["sampler"]["fanouts"])}
-                                        if "sampler" in d and "fanouts" in d["sampler"] else {})}),
-            model=ModelConfig(**d.get("model", {})),
-            train=TrainConfig(**d.get("train", {})),
-            cache=CacheConfig(**d.get("cache", {})),
-            parallel=ParallelConfig(**d.get("parallel", {})),
+            dataset=mk(DatasetConfig, d.get("dataset", {})),
+            sampler=mk(SamplerConfig, sampler),
+            model=mk(ModelConfig, d.get("model", {})),
+            train=mk(TrainConfig, d.get("train", {})),
+            cache=mk(CacheConfig, d.get("cache", {})),
+            parallel=mk(ParallelConfig, d.get("parallel", {})),
         )
 
 

@@ -65,3 +65,45 @@ def make_dp_train_step(cfg: Config, model, caps, mesh: Mesh,
         jax.shard_map(eval_step, mesh=mesh, in_specs=eval_specs,
                       out_specs=(P(), P())))
     return step, ev
+
+
+def make_dp_epoch_fns(cfg: Config, model, caps, mesh: Mesh,
+                      sharded_features: bool = False):
+    """Whole-epoch mesh programs: (jit_epoch, jit_eval_scan).
+
+    jit_epoch(state, graph, feats, seeds_epoch, labels_epoch)
+        -> (state, losses, (edges, overflow))
+      seeds/labels: (steps, n_shards*batch) sharded over the mesh on the
+      batch dim — each chip scans its own per-step sub-batch, gradients
+      pmean across the mesh every step (the reference's free-running
+      RunnerLoop + DDP, ``src/Server.cu:36-41``,
+      ``legion_graphsage.py:140-141``, as ONE XLA program per epoch).
+
+    jit_eval_scan(params, graph, feats, seeds, counts, labels, key)
+        -> (correct, total) psum'd across the mesh.
+      counts: (steps, n_shards) per-chip valid counts (short eval shards
+      pad with -1, the Coordinate lockstep rule).
+    """
+    fetch = None
+    if sharded_features:
+        fetch = lambda feats, frontier: sharded_row_fetch(  # noqa: E731
+            feats, frontier, "cache")
+    fns = make_step_fns(cfg, model, caps, feature_fetch=fetch,
+                        shard_axes=MESH_AXES)
+
+    def eval_scan_wrap(params, graph, feats, seeds, counts, labels, key):
+        return fns.eval_scan(params, graph, feats, seeds, counts[:, 0],
+                             labels, key)
+
+    feats_spec = P("cache") if sharded_features else P()
+    ep_specs = (P(), P(), feats_spec, P(None, MESH_AXES), P(None, MESH_AXES))
+    jit_epoch = jax.jit(
+        jax.shard_map(fns.epoch_scan, mesh=mesh, in_specs=ep_specs,
+                      out_specs=(P(), P(), (P(), P()))),
+        donate_argnums=(0,))
+    ev_specs = (P(), P(), feats_spec, P(None, MESH_AXES),
+                P(None, MESH_AXES), P(None, MESH_AXES), P())
+    jit_eval = jax.jit(
+        jax.shard_map(eval_scan_wrap, mesh=mesh, in_specs=ev_specs,
+                      out_specs=(P(), P())))
+    return jit_epoch, jit_eval

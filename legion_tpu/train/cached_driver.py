@@ -29,7 +29,8 @@ from legion_tpu.models import build_model
 from legion_tpu.sampling.block import frontier_caps
 from legion_tpu.sampling.sampler import DeviceGraph, sample_batch
 from legion_tpu.sampling.seeds import epoch_train_seeds, make_seed_plan, shard_node_set
-from legion_tpu.train.train_state import create_train_state
+from legion_tpu.train.train_state import (
+    create_train_state, restore_checkpoint, save_checkpoint)
 
 
 def run_cached_training(cfg: Config, data: GraphData, log=print) -> Dict:
@@ -144,6 +145,12 @@ def run_cached_training(cfg: Config, data: GraphData, log=print) -> Dict:
                         deterministic=True)["params"]
     state = create_train_state(params, cfg.train.learning_rate,
                                cfg.train.seed)
+    if cfg.train.checkpoint_dir:
+        restored = restore_checkpoint(cfg.train.checkpoint_dir, state)
+        if restored is not None:
+            state = restored
+            log(f"resumed from checkpoint at step {int(state.step)}, "
+                f"epoch {int(state.epoch)}")
 
     # ---- training (Run) ---------------------------------------------------
     from legion_tpu.runtime import gather_rows
@@ -169,7 +176,8 @@ def run_cached_training(cfg: Config, data: GraphData, log=print) -> Dict:
                          -1).astype(np.int32)
         return tr.eval_epoch(state.params, seeds_e[0], counts_e[0], lab_e)
 
-    for epoch in range(cfg.train.epochs):
+    start_epoch = int(jax.device_get(state.epoch))
+    for epoch in range(start_epoch, cfg.train.epochs):
         ep_rng = np.random.default_rng(cfg.train.seed * 100003 + epoch)
         s, _ = epoch_train_seeds(ep_rng, shards, plan)
         lab = labels_all[s[0]]
@@ -200,6 +208,10 @@ def run_cached_training(cfg: Config, data: GraphData, log=print) -> Dict:
             f"host_gb:{r['host_gb']:.3f}, Val Acc: {r['valid']:.4f}"
             + (f" [STAGING OVERFLOW {r['staging_overflow']} rows]"
                if r.get("staging_overflow") else ""))
+        if cfg.train.checkpoint_dir:
+            state = state.replace(
+                epoch=jnp.full((), epoch + 1, jnp.int32))
+            save_checkpoint(cfg.train.checkpoint_dir, state)
     test_acc = eval_set(np.asarray(data.test_ids), plan.test_steps,
                         plan.test_batch[0])
     log(f"Accuracy on test data: {test_acc:.4f}")

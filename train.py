@@ -18,6 +18,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The container's sitecustomize registers the TPU backend at interpreter
+# startup, so XLA_FLAGS/JAX_PLATFORMS from the environment are captured
+# too early; force the virtual CPU mesh through jax.config instead
+# (CI/multi-chip dry runs without hardware).
+_cpu = int(os.environ.get("LEGION_FORCE_CPU_DEVICES", "0"))
+if _cpu:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", _cpu)
+
 
 def main():
     ap = argparse.ArgumentParser("legion_tpu trainer")
@@ -46,10 +56,21 @@ def main():
     ap.add_argument("--topology", default="hbm", choices=["hbm", "host"],
                     help="'host' = host CSR + HBM hot sub-CSR (hybrid "
                          "sampling; uk-scale graphs beyond device HBM)")
+    ap.add_argument("--devices", type=int, default=1,
+                    help="chips in the device mesh (0 = all local; "
+                         "1 = single-chip drivers)")
+    ap.add_argument("--cache-group", type=int, default=1,
+                    help="cache group size Kg: chips jointly holding one "
+                         "striped hot-cache copy (NVLink-clique analog)")
+    ap.add_argument("--features", default="hbm",
+                    choices=["hbm", "hbm_sharded"],
+                    help="multi-chip HBM feature placement: replicated "
+                         "per chip or row-striped over the cache axis")
     args = ap.parse_args()
 
     from legion_tpu.config import (DATASET_REGISTRY, CacheConfig, Config,
-                                   DatasetConfig, ModelConfig, SamplerConfig,
+                                   DatasetConfig, ModelConfig,
+                                   ParallelConfig, SamplerConfig,
                                    TrainConfig)
     from legion_tpu.data.format import load_dataset
     from legion_tpu.data.synthetic import random_power_law_graph
@@ -64,7 +85,10 @@ def main():
             data = random_power_law_graph(num_nodes=args.synthetic,
                                           avg_degree=15, feature_dim=100,
                                           num_classes=47, seed=args.seed)
-            dcfg = DatasetConfig(name="synthetic", num_classes=47)
+            dcfg = DatasetConfig(name="synthetic", num_classes=47,
+                                 feature_placement=(
+                                     "host" if args.cache_budget_gb > 0
+                                     else args.features))
         else:
             dcfg = (DATASET_REGISTRY[args.dataset] if args.dataset
                     else DatasetConfig())
@@ -77,7 +101,7 @@ def main():
                 feature_dim=data.feature_dim,
                 num_classes=dcfg.num_classes or data.num_classes,
                 feature_placement=("host" if args.cache_budget_gb > 0
-                                   else "hbm"))
+                                   else args.features))
         cfg = Config(
             dataset=dcfg,
             sampler=SamplerConfig(fanouts=fanouts,
@@ -90,18 +114,27 @@ def main():
                               checkpoint_dir=args.checkpoint_dir,
                               profile_dir=args.profile_dir),
             cache=CacheConfig(enabled=args.cache_budget_gb > 0,
-                              budget_bytes=int(args.cache_budget_gb * 2**30)),
+                              budget_bytes=int(args.cache_budget_gb * 2**30),
+                              group_size=args.cache_group),
+            parallel=ParallelConfig(num_devices=args.devices),
         )
 
     topo_host = (getattr(args, "topology", "hbm") == "host"
                  or cfg.dataset.topology_placement == "host")
+    multi = cfg.parallel.num_devices != 1
     print(cfg.to_json())
     if topo_host:
         from legion_tpu.train.hybrid_driver import run_hybrid_training
         run_hybrid_training(cfg, data)
+    elif cfg.cache.enabled and multi:
+        from legion_tpu.train.striped_driver import run_striped_training
+        run_striped_training(cfg, data)
     elif cfg.cache.enabled:
         from legion_tpu.train.cached_driver import run_cached_training
         run_cached_training(cfg, data)
+    elif multi:
+        from legion_tpu.parallel.trainer import MeshTrainer
+        MeshTrainer(cfg, data).fit()
     else:
         from legion_tpu.train.loop import Trainer
         Trainer(cfg, data).fit()
