@@ -124,3 +124,124 @@ class StripedFeatureCache(NamedTuple):
         import ml_dtypes
         return (ml_dtypes.bfloat16 if self.rows.dtype == jnp.bfloat16
                 else np.float32)
+
+
+class StripedTopoCache(NamedTuple):
+    """Hot adjacency sub-CSR striped across the cache axis.
+
+    The reference stripes hot TOPOLOGY over the clique exactly like
+    features (``InitIndexPair``/``InitOffsetPair``,
+    ``src/GPUCache.cu:88-100``; sub-CSR build ``GraphCache``,
+    ``src/GPU_Memory_Graph_Storage.cu:98-133``) and samples remote rows
+    through replicated peer pointer tables. Here hot rank ``r`` (index
+    into the sorted replicated ``hot_ids``) lives on chip ``r % K`` at
+    local sub-CSR row ``r // K``; a sampling hop is the halo-exchange
+    pattern (parallel.halo.partitioned_sample_hop) applied to the hot
+    subset: all_gather the frontier's hit ranks, each chip draws fanout
+    samples for the rows it owns, psum_scatter returns each chip its own
+    frontier's draws. Misses fall to the host sampler (hybrid path).
+
+    hot_ids: (C,) int32 sorted, replicated.
+    sub_indptr: (K, rows_cap+1) int32, sharded P('cache') on axis 0.
+    sub_indices: (K, edges_cap) int32, sharded P('cache') on axis 0.
+    """
+
+    hot_ids: jnp.ndarray
+    sub_indptr: jnp.ndarray
+    sub_indices: jnp.ndarray
+
+    @classmethod
+    def build(cls, indptr: np.ndarray, indices: np.ndarray,
+              hot_order: np.ndarray, capacity: int,
+              mesh) -> "StripedTopoCache":
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        k = mesh.shape["cache"]
+        capacity = int(min(capacity, len(hot_order)))
+        hot = np.sort(np.asarray(hot_order[:capacity], np.int64))
+        indptr = np.asarray(indptr)
+        indices = np.asarray(indices)
+
+        stripes = []
+        rows_cap = edges_cap = 0
+        for j in range(k):
+            own = hot[j::k]                         # ranks r==j (mod k)
+            degs = indptr[own + 1] - indptr[own]
+            sp = np.zeros(len(own) + 1, np.int64)
+            np.cumsum(degs, out=sp[1:])
+            total = int(sp[-1])
+            assert total < 2 ** 31, "hot sub-CSR stripe exceeds int32"
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                sp[:-1], degs)
+            src = np.repeat(indptr[own], degs) + within
+            si = indices[src].astype(np.int32)
+            stripes.append((sp, si))
+            rows_cap = max(rows_cap, len(own))
+            edges_cap = max(edges_cap, total)
+
+        sub_indptr = np.zeros((k, rows_cap + 1), np.int32)
+        sub_indices = np.full((k, max(edges_cap, 1)), -1, np.int32)
+        for j, (sp, si) in enumerate(stripes):
+            sub_indptr[j, : len(sp)] = sp
+            sub_indptr[j, len(sp):] = sp[-1]        # pad rows: degree 0
+            sub_indices[j, : len(si)] = si
+        sh = NamedSharding(mesh, P("cache"))
+        return cls(
+            hot_ids=jax.device_put(jnp.asarray(hot.astype(np.int32)),
+                                   NamedSharding(mesh, P())),
+            sub_indptr=jax.device_put(jnp.asarray(sub_indptr), sh),
+            sub_indices=jax.device_put(jnp.asarray(sub_indices), sh))
+
+    @staticmethod
+    def lookup(hot_ids: jnp.ndarray, ids: jnp.ndarray):
+        """(hit, rank) for global ids (-1 padded); jit-safe."""
+        c = hot_ids.shape[0]
+        valid = ids >= 0
+        safe = jnp.where(valid, ids, 0)
+        pos = jnp.clip(jnp.searchsorted(hot_ids, safe).astype(jnp.int32),
+                       0, max(c - 1, 0))
+        hit = valid & (hot_ids[pos] == safe) if c > 0 else \
+            jnp.zeros_like(valid)
+        return hit, pos
+
+    @staticmethod
+    def sample_hot(hot_ids: jnp.ndarray, sub_indptr_local: jnp.ndarray,
+                   sub_indices_local: jnp.ndarray, key: jax.Array,
+                   frontier: jnp.ndarray, fanout: int,
+                   axis: str = "cache"):
+        """One hop for the cache-hit subset of the frontier, striped.
+
+        Must run inside shard_map with `axis` mapped; the local stripe
+        arrays carry their (1, ...) leading mesh axis. Returns
+        (neighbors (M, fanout) int32 with -1 for invalid-or-miss,
+        hit (M,) bool). Draw semantics match TopoCache.sample_hot
+        (uniform with replacement, slot >= degree -> -1); on a 1-chip
+        mesh the draws are bit-identical to it given the same key.
+        """
+        sp = sub_indptr_local[0]
+        si = sub_indices_local[0]
+        k = jax.lax.axis_size(axis)
+        me = jax.lax.axis_index(axis)
+        m = frontier.shape[0]
+
+        hit, rank = StripedTopoCache.lookup(hot_ids, frontier)
+        req = jnp.where(hit, rank, -1)
+        all_req = jax.lax.all_gather(req, axis).reshape(-1)   # (K*M,)
+        valid = all_req >= 0
+        mine = valid & (all_req % k == me)
+        row = jnp.where(mine, all_req // k, 0)
+        start = sp[row]
+        deg = jnp.where(mine, sp[row + 1] - start, 0)
+
+        u = jax.random.uniform(key, (k * m, fanout), dtype=jnp.float32)
+        off = jnp.minimum((u * deg[:, None].astype(jnp.float32))
+                          .astype(jnp.int32),
+                          jnp.maximum(deg[:, None] - 1, 0))
+        addr = jnp.clip(start[:, None] + off, 0, si.shape[0] - 1)
+        nbr = si[addr]
+        slot = jax.lax.broadcasted_iota(jnp.int32, (k * m, fanout), 1)
+        ok = mine[:, None] & (slot < deg[:, None]) & (deg[:, None] > 0)
+        # psum of one-hot contributions reconstructs ids incl. -1
+        contrib = jnp.where(ok, nbr + 1, 0)
+        summed = jax.lax.psum_scatter(contrib, axis, scatter_dimension=0,
+                                      tiled=True)              # (M, fanout)
+        return summed - 1, hit

@@ -54,13 +54,18 @@ class HostShard(NamedTuple):
         max_c = max_e = 0
         for p in range(num_parts):
             owned = np.nonzero(partition == p)[0].astype(np.int32)
-            degs = indptr[owned + 1] - indptr[owned]
+            degs = (indptr[owned + 1] - indptr[owned]).astype(np.int64)
             sub_indptr = np.zeros(len(owned) + 1, np.int64)
             np.cumsum(degs, out=sub_indptr[1:])
-            sub_indices = np.empty(int(sub_indptr[-1]), np.int32)
-            for i, v in enumerate(owned):
-                sub_indices[sub_indptr[i]:sub_indptr[i + 1]] = \
-                    indices[indptr[v]:indptr[v + 1]]
+            total = int(sub_indptr[-1])
+            # vectorized adjacency copy (same construction as
+            # TopoCache.build): src walks each owned run in order — the
+            # per-node Python loop this replaces took minutes per 1M
+            # nodes and would not survive papers100M-scale shards.
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                sub_indptr[:-1], degs)
+            src = np.repeat(indptr[owned].astype(np.int64), degs) + within
+            sub_indices = indices[src].astype(np.int32)
             parts.append((owned, sub_indptr, sub_indices, features[owned]))
             max_c = max(max_c, len(owned))
             max_e = max(max_e, len(sub_indices))

@@ -28,15 +28,15 @@ import numpy as np
 from legion_tpu.cache.cost_model import solve_cost_model
 from legion_tpu.cache.feature_cache import FeatureCache, cache_dtype_for
 from legion_tpu.cache.hotness import observed_caps
-from legion_tpu.cache.hybrid import HybridSampler
-from legion_tpu.cache.pipeline import make_cache_step_fns
+from legion_tpu.cache.hybrid import HybridSampler, HybridTrainer
 from legion_tpu.cache.topo_cache import TopoCache
 from legion_tpu.config import Config
 from legion_tpu.data.format import GraphData
 from legion_tpu.models import build_model
-from legion_tpu.sampling.block import frontier_caps
-from legion_tpu.sampling.seeds import epoch_train_seeds, make_seed_plan, shard_node_set
-from legion_tpu.train.train_state import create_train_state
+from legion_tpu.sampling.seeds import (
+    epoch_eval_seeds, epoch_train_seeds, make_seed_plan, shard_node_set)
+from legion_tpu.train.train_state import (
+    create_train_state, restore_checkpoint, save_checkpoint)
 
 
 def presample_hotness_host(indptr: np.ndarray, indices: np.ndarray,
@@ -124,52 +124,55 @@ def run_hybrid_training(cfg: Config, data: GraphData, log=print) -> Dict:
                         deterministic=True)["params"]
     state = create_train_state(params, cfg.train.learning_rate,
                                cfg.train.seed)
+    if cfg.train.checkpoint_dir:
+        restored = restore_checkpoint(cfg.train.checkpoint_dir, state)
+        if restored is not None:
+            state = restored
+            log(f"resumed from checkpoint at step {int(state.step)}, "
+                f"epoch {int(state.epoch)}")
 
-    train_from, eval_from = make_cache_step_fns(cfg, model)
-    jit_plan = jax.jit(FeatureCache.plan_ids, static_argnums=(2,))
-    jit_train = jax.jit(train_from, donate_argnums=(0,))
     from legion_tpu.runtime import gather_rows
     host_feats = np.asarray(data.features)
     labels_all = np.asarray(data.labels)
+    tr = HybridTrainer(cfg, model, caps, topo, indptr, indices, cache,
+                       host_stage=lambda ids: gather_rows(
+                           host_feats, ids).astype(cache_dtype))
+
+    def eval_set(ids: np.ndarray) -> float:
+        if not len(ids):
+            return float("nan")
+        per_lim = min(cfg.sampler.eval_batch_size, b)
+        steps_e = (len(ids) - 1) // per_lim + 1
+        per = (len(ids) - 1) // steps_e + 1
+        # hop-0 static shape must match training (the jits are shared)
+        seeds_e, counts_e = epoch_eval_seeds([ids], steps_e, (per,), b)
+        lab_e = np.where(seeds_e[0] >= 0,
+                         labels_all[np.clip(seeds_e[0], 0, None)],
+                         -1).astype(np.int32)
+        return tr.eval_epoch(state.params, seeds_e[0], counts_e[0], lab_e)
 
     # ---- training ----------------------------------------------------------
     history = []
-    for epoch in range(cfg.train.epochs):
+    start_epoch = int(jax.device_get(state.epoch))
+    for epoch in range(start_epoch, cfg.train.epochs):
         ep_rng = np.random.default_rng(cfg.train.seed * 100003 + epoch)
         s, _ = epoch_train_seeds(ep_rng, shards, plan)
-        t0 = time.perf_counter()
-        losses = []
-        # The per-step hit RATE accumulates as an f32 DEVICE scalar
-        # (dispatch, no fetch): per-step int() fetches are full
-        # round-trips — ruinous on a tunneled TPU (see cache/pipeline.py)
-        # — and int32 count accumulators would wrap at uk-scale epochs
-        # (~1.5M valid/step x 1400+ steps > 2^31).
-        rate_sum = jnp.zeros((), jnp.float32)
-        steps = s[0].shape[0]
-        for i in range(steps):
-            key, sub = jax.random.split(key)
-            batch = hs.sample_batch(sub, jnp.asarray(s[0][i]), b,
-                                    jnp.asarray(labels_all[s[0][i]]),
-                                    host_seed=epoch * 100003 + i)
-            cp = jit_plan(cache.hot_ids, batch.frontier, cache.miss_cap)
-            staged = gather_rows(host_feats,
-                                 np.asarray(cp.miss_ids)).astype(cache_dtype)
-            state, loss = jit_train(state, cache.rows, batch, cp,
-                                    jnp.asarray(staged))
-            losses.append(loss)
-            rate_sum = rate_sum + (cp.num_hit.astype(jnp.float32)
-                                   / jnp.maximum(cp.num_valid, 1)
-                                   .astype(jnp.float32))
-        dt = time.perf_counter() - t0
-        rec = {"epoch": epoch, "seconds": dt,
-               "loss": float(jax.device_get(losses[-1])),
-               "feat_hit_rate": float(jax.device_get(rate_sum))
-               / max(steps, 1),
-               "topo_hot_fraction": hs.hot_fraction(),
-               "host_topo_gb": hs.stats["host_bytes"] / 2**30}
-        history.append(rec)
-        log(f"Epoch:{epoch}, Cost:{dt:.3f} s, Loss:{rec['loss']:.4f}, "
-            f"feat_hit:{rec['feat_hit_rate']:.3f}, "
-            f"topo_hot:{rec['topo_hot_fraction']:.3f}")
+        lab = labels_all[s[0]].astype(np.int32)
+        state = state.replace(epoch=jnp.full((), epoch, jnp.int32))
+        r = tr.run_epoch(state, s[0], lab, epoch)
+        state = r.pop("state")
+        r["epoch"] = epoch
+        r["valid"] = eval_set(np.asarray(data.valid_ids))
+        history.append(r)
+        log(f"Epoch:{epoch}, Cost:{r['seconds']:.3f} s, "
+            f"Loss:{r['loss']:.4f}, feat_hit:{r['feat_hit_rate']:.3f}, "
+            f"topo_hot:{r['topo_hot_fraction']:.3f}, "
+            f"Val Acc: {r['valid']:.4f}")
+        if cfg.train.checkpoint_dir:
+            state = state.replace(
+                epoch=jnp.full((), epoch + 1, jnp.int32))
+            save_checkpoint(cfg.train.checkpoint_dir, state)
+    test_acc = eval_set(np.asarray(data.test_ids))
+    log(f"Accuracy on test data: {test_acc:.4f}")
     return {"state": state, "history": history, "cost": cost,
-            "sampler": hs}
+            "sampler": hs, "trainer": tr, "test_acc": test_acc}

@@ -72,3 +72,56 @@ def test_run_hybrid_training_end_to_end(small_graph):
     assert np.isfinite(h["loss"])
     assert 0.0 < h["feat_hit_rate"] <= 1.0
     assert 0.0 <= h["topo_hot_fraction"] <= 1.0
+
+
+def _hybrid_cfg(small_graph, epochs=2, ck=None, every=0):
+    from legion_tpu.config import (CacheConfig, Config, DatasetConfig,
+                                   ModelConfig, SamplerConfig, TrainConfig)
+    return Config(
+        dataset=DatasetConfig(num_classes=int(small_graph.num_classes),
+                              topology_placement="host",
+                              feature_placement="host"),
+        sampler=SamplerConfig(fanouts=(5, 4), batch_size=64,
+                              eval_batch_size=32),
+        model=ModelConfig(arch="sage", hidden_dim=16, num_layers=2,
+                          dropout=0.0),
+        train=TrainConfig(epochs=epochs, learning_rate=0.01,
+                          checkpoint_dir=ck, checkpoint_every_steps=every),
+        cache=CacheConfig(enabled=True, budget_bytes=1 << 20,
+                          presample_steps=3))
+
+
+def test_hybrid_driver_eval_and_fetch_budget(small_graph):
+    """VERDICT item 3: the hybrid driver reports Val/Test accuracy, and
+    the pipelined trainer spends H packed device->host fetches per step
+    (vs 2H+1 for the naive per-hop hit+frontier+plan fetches)."""
+    from legion_tpu.train.hybrid_driver import run_hybrid_training
+    res = run_hybrid_training(_hybrid_cfg(small_graph), small_graph,
+                              log=lambda s: None)
+    chance = 1.0 / small_graph.num_classes
+    assert res["history"][-1]["valid"] > 1.5 * chance
+    assert res["test_acc"] > 1.5 * chance
+    assert res["history"][1]["loss"] < res["history"][0]["loss"]
+
+    # transfer accounting: H fetches per train step + 1 epoch prologue;
+    # eval_epoch spends the same per-step budget
+    h0 = res["history"][0]
+    hops = 2
+    train_steps = h0["steps"]
+    assert h0["fetches"] == hops * train_steps + 1, h0
+    naive = (2 * hops + 1) * train_steps
+    assert naive / h0["fetches"] >= 2.0
+
+
+def test_hybrid_driver_kill_and_resume(small_graph, tmp_path):
+    from legion_tpu.train.hybrid_driver import run_hybrid_training
+    from legion_tpu.train.train_state import latest_checkpoint
+    ck = str(tmp_path / "ck")
+    run_hybrid_training(_hybrid_cfg(small_graph, epochs=1, ck=ck, every=2),
+                        small_graph, log=lambda s: None)
+    assert latest_checkpoint(ck) is not None
+    logs = []
+    res = run_hybrid_training(_hybrid_cfg(small_graph, epochs=2, ck=ck),
+                              small_graph, log=logs.append)
+    assert any("resumed from checkpoint" in l for l in logs)
+    assert [r["epoch"] for r in res["history"]] == [1]

@@ -42,7 +42,11 @@ def main():
     data = load_dataset(os.path.join(ROOT, ".bench_cache",
                                      "synth_2449029_50"), mmap=False)
     data = dataclasses.replace(
-        data, train_ids=np.asarray(data.train_ids)[: STEPS * BATCH])
+        data, train_ids=np.asarray(data.train_ids)[: STEPS * BATCH],
+        # keep the (batch-8000-shaped) eval pass short: the smoke's job
+        # is ms/step + a Val Acc sanity figure, not full-set accuracy
+        valid_ids=np.asarray(data.valid_ids)[:1024],
+        test_ids=np.asarray(data.test_ids)[:1024])
     cfg = Config(
         dataset=DatasetConfig(num_classes=47, feature_placement="host",
                               topology_placement="host"),
@@ -62,7 +66,9 @@ def main():
           f"{STEPS} steps x {h['seconds']/STEPS*1e3:.0f} ms, "
           f"feat_hit {h['feat_hit_rate']:.3f}, "
           f"topo_hot {h['topo_hot_fraction']:.3f}, "
-          f"host_topo_gb {h['host_topo_gb']:.3f}, loss {h['loss']:.3f}",
+          f"host_topo_gb {h['host_topo_gb']:.3f}, loss {h['loss']:.3f}, "
+          f"fetches/step {h['fetches']/max(h['steps'],1):.1f}, "
+          f"Val Acc {h['valid']:.4f}, Test Acc {res['test_acc']:.4f}",
           flush=True)
 
 
