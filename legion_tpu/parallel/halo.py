@@ -40,51 +40,64 @@ class HostShard(NamedTuple):
     feat_rows: jnp.ndarray     # (C, D) float32 features of owned nodes
 
     @staticmethod
+    def part_shapes(indptr, partition: np.ndarray, num_parts: int):
+        """Per-part (row_count, edge_count) WITHOUT materializing any
+        adjacency — every process can agree on the padded global shapes
+        from the partition vector alone (the per-process loading math of
+        the jax.distributed launch path)."""
+        deg = np.diff(np.asarray(indptr)).astype(np.int64)
+        rows = np.bincount(partition, minlength=num_parts).astype(np.int64)
+        edges = np.bincount(partition, weights=deg,
+                            minlength=num_parts).astype(np.int64)
+        return rows, edges
+
+    @staticmethod
+    def build_one(indptr, indices, features, partition: np.ndarray,
+                  p: int, pad_rows: int, pad_edges: int):
+        """Build ONE part's padded shard (numpy). In a multi-process
+        launch each host calls this only for the parts its local devices
+        own — it never touches other parts' adjacency or feature rows.
+        Vectorized adjacency copy (same construction as TopoCache.build;
+        the per-node Python loop it replaced would not survive
+        papers100M-scale shards)."""
+        indptr = np.asarray(indptr)
+        indices = np.asarray(indices)
+        features = np.asarray(features)
+        owned = np.nonzero(partition == p)[0].astype(np.int32)
+        degs = (indptr[owned + 1] - indptr[owned]).astype(np.int64)
+        sp = np.zeros(len(owned) + 1, np.int64)
+        np.cumsum(degs, out=sp[1:])
+        total = int(sp[-1])
+        within = np.arange(total, dtype=np.int64) - np.repeat(sp[:-1], degs)
+        src = np.repeat(indptr[owned].astype(np.int64), degs) + within
+        si = indices[src].astype(np.int32)
+
+        c, d = len(owned), features.shape[1]
+        owned_p = np.full(pad_rows, np.iinfo(np.int32).max, np.int32)
+        owned_p[:c] = owned
+        sp_p = np.full(pad_rows + 1, sp[-1], np.int64)
+        sp_p[:c + 1] = sp
+        si_p = np.full(pad_edges, -1, np.int32)
+        si_p[:total] = si
+        fr_p = np.zeros((pad_rows, d), np.float32)
+        fr_p[:c] = features[owned]
+        return owned_p, sp_p.astype(np.int32), si_p, fr_p
+
+    @staticmethod
     def build(indptr, indices, features, partition: np.ndarray,
               num_parts: int, pad_to: Tuple[int, int] | None = None):
         """Split a host graph into per-part compact shards (numpy).
 
         Returns a list of HostShard-ready numpy tuples, each padded to
         the max (row, edge) counts across parts so shapes are uniform
-        for shard_map."""
-        indptr = np.asarray(indptr)
-        indices = np.asarray(indices)
-        features = np.asarray(features)
-        parts = []
-        max_c = max_e = 0
-        for p in range(num_parts):
-            owned = np.nonzero(partition == p)[0].astype(np.int32)
-            degs = (indptr[owned + 1] - indptr[owned]).astype(np.int64)
-            sub_indptr = np.zeros(len(owned) + 1, np.int64)
-            np.cumsum(degs, out=sub_indptr[1:])
-            total = int(sub_indptr[-1])
-            # vectorized adjacency copy (same construction as
-            # TopoCache.build): src walks each owned run in order — the
-            # per-node Python loop this replaces took minutes per 1M
-            # nodes and would not survive papers100M-scale shards.
-            within = np.arange(total, dtype=np.int64) - np.repeat(
-                sub_indptr[:-1], degs)
-            src = np.repeat(indptr[owned].astype(np.int64), degs) + within
-            sub_indices = indices[src].astype(np.int32)
-            parts.append((owned, sub_indptr, sub_indices, features[owned]))
-            max_c = max(max_c, len(owned))
-            max_e = max(max_e, len(sub_indices))
+        for shard_map. Single-process convenience over build_one."""
+        rows, edges = HostShard.part_shapes(indptr, partition, num_parts)
+        max_c, max_e = int(rows.max()), max(int(edges.max()), 1)
         if pad_to:
             max_c, max_e = max(max_c, pad_to[0]), max(max_e, pad_to[1])
-        out = []
-        d = features.shape[1]
-        for owned, sp, si, fr in parts:
-            c = len(owned)
-            owned_p = np.full(max_c, np.iinfo(np.int32).max, np.int32)
-            owned_p[:c] = owned
-            sp_p = np.full(max_c + 1, sp[-1], np.int64)
-            sp_p[:c + 1] = sp
-            si_p = np.full(max_e, -1, np.int32)
-            si_p[:len(si)] = si
-            fr_p = np.zeros((max_c, d), np.float32)
-            fr_p[:c] = fr
-            out.append((owned_p, sp_p.astype(np.int32), si_p, fr_p))
-        return out
+        return [HostShard.build_one(indptr, indices, features, partition,
+                                    p, max_c, max_e)
+                for p in range(num_parts)]
 
 
 def _local_lookup(owned_ids: jnp.ndarray, ids: jnp.ndarray):

@@ -53,13 +53,8 @@ def sample_batch_partitioned(shard: HostShard, key: jax.Array,
                         blocks=tuple(blocks))
 
 
-def make_partitioned_train_step(cfg: Config, model, caps, mesh: Mesh):
-    """Returns (jitted_step, put_shards).
-
-    jitted_step(state, owned, sub_indptr, sub_indices, feat_rows,
-                seeds, num_seeds, labels) -> (state, metrics)
-    with the shard arrays stacked (K, ...) and sharded over `data`.
-    """
+def _partitioned_step_fns(cfg: Config, model, caps):
+    """Pure per-shard step functions (inside shard_map over AXIS)."""
     fanouts = tuple(cfg.sampler.fanouts)
     is_lp = cfg.model.arch == "lp_sage"
 
@@ -91,6 +86,68 @@ def make_partitioned_train_step(cfg: Config, model, caps, mesh: Mesh):
         edges = jax.lax.psum(sum(b.num_edges() for b in batch.blocks), AXIS)
         return state, {"loss": loss, "edges": edges}
 
+    def eval_step(params, owned, sp, si, fr, seeds, ns, labels, key):
+        # ns: () this host's valid seed count for the step
+        shard = HostShard(owned_ids=owned[0], sub_indptr=sp[0],
+                          sub_indices=si[0], feat_rows=fr[0])
+        key = jax.random.fold_in(key, jax.lax.axis_index(AXIS))
+        batch = sample_batch_partitioned(shard, key, seeds, ns,
+                                         labels, fanouts, caps)
+        x = partitioned_row_fetch(shard, batch.frontier, AXIS)
+        out = model.apply({"params": params},
+                          tuple(reversed(batch.blocks)), x,
+                          deterministic=True)
+        out = out[: batch.seed_cap]
+        mask = batch.seed_mask()
+        if is_lp:
+            a, b = lp_logsigmoid_loss(out, mask), jnp.sum(mask)
+        else:
+            pred = jnp.argmax(out, axis=-1)
+            a, b = jnp.sum((pred == batch.labels) & mask), jnp.sum(mask)
+        return (jax.lax.psum(a.astype(jnp.float32), AXIS),
+                jax.lax.psum(b.astype(jnp.float32), AXIS))
+
+    def epoch_scan(state, owned, sp, si, fr, seeds_epoch, num_seeds,
+                   labels_epoch):
+        """Whole partitioned epoch as one program (steps on the leading
+        axis of seeds/labels)."""
+        def body(st, xs):
+            seeds, labels = xs
+            st, m = step(st, owned, sp, si, fr, seeds, num_seeds, labels)
+            return st, (m["loss"], m["edges"])
+
+        state, (losses, edges) = jax.lax.scan(
+            body, state, (seeds_epoch, labels_epoch))
+        return state, losses, jnp.sum(edges)
+
+    def eval_scan(params, owned, sp, si, fr, seeds_epoch, counts,
+                  labels_epoch, key):
+        def body(carry, xs):
+            a_s, b_s = carry
+            seeds, nb, labels, k = xs
+            a, b = eval_step(params, owned, sp, si, fr, seeds, nb,
+                             labels, k)
+            return (a_s + a, b_s + b), None
+
+        steps = seeds_epoch.shape[0]
+        keys = jax.random.split(key, steps)
+        (a, b), _ = jax.lax.scan(
+            body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
+            (seeds_epoch, counts[:, 0], labels_epoch, keys))
+        return a, b
+
+    return step, eval_step, epoch_scan, eval_scan
+
+
+def make_partitioned_train_step(cfg: Config, model, caps, mesh: Mesh):
+    """Returns (jitted_step, put_shards).
+
+    jitted_step(state, owned, sub_indptr, sub_indices, feat_rows,
+                seeds, num_seeds, labels) -> (state, metrics)
+    with the shard arrays stacked (K, ...) and sharded over `data`.
+    """
+    step, *_ = _partitioned_step_fns(cfg, model, caps)
+
     # num_seeds: (K,) int32, one valid-count per host (short shards pad
     # their seed batch with -1 — the Coordinate lockstep rule).
     specs = (P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
@@ -108,3 +165,31 @@ def make_partitioned_train_step(cfg: Config, model, caps, mesh: Mesh):
         return tuple(jax.device_put(jnp.asarray(a), sh) for a in stacked)
 
     return jitted, put_shards
+
+
+def make_partitioned_epoch_fns(cfg: Config, model, caps, mesh: Mesh,
+                               eval_caps=None):
+    """Whole-epoch partitioned programs: (jit_epoch, jit_eval_scan).
+
+    jit_epoch(state, owned, sp, si, fr, seeds_epoch, num_seeds,
+              labels_epoch) -> (state, losses, edges)
+      seeds/labels: (steps, K*batch) sharded on the batch dim;
+      num_seeds: (K,) per-host valid counts (full batches: drop-last).
+    jit_eval_scan(params, ..., seeds, counts, labels, key) ->
+      (correct, total); counts: (steps, K) per-host per-step counts.
+    """
+    _, _, epoch_scan, _ = _partitioned_step_fns(cfg, model, caps)
+    _, _, _, eval_scan = _partitioned_step_fns(cfg, model,
+                                               eval_caps or caps)
+    ax = P(AXIS)
+    ep_specs = (P(), ax, ax, ax, ax, P(None, AXIS), ax, P(None, AXIS))
+    jit_epoch = jax.jit(
+        jax.shard_map(epoch_scan, mesh=mesh, in_specs=ep_specs,
+                      out_specs=(P(), P(), P())),
+        donate_argnums=(0,))
+    ev_specs = (P(), ax, ax, ax, ax, P(None, AXIS), P(None, AXIS),
+                P(None, AXIS), P())
+    jit_eval = jax.jit(
+        jax.shard_map(eval_scan, mesh=mesh, in_specs=ev_specs,
+                      out_specs=(P(), P())))
+    return jit_epoch, jit_eval

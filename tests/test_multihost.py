@@ -73,3 +73,58 @@ def test_partitioned_training_learns(small_graph):
 
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_put_shards_distributed_matches_build(small_graph):
+    """Per-process loading (jax.distributed scaffolding) assembles
+    exactly the arrays the single-process put_shards builds."""
+    from legion_tpu.parallel.halo import HostShard
+    from legion_tpu.parallel.launch import (local_part_ids,
+                                            put_shards_distributed)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    part = partition_graph(small_graph, 4, mode="greedy")
+
+    assert local_part_ids(mesh) == [0, 1, 2, 3]  # single process: all
+
+    got = put_shards_distributed(small_graph.indptr, small_graph.indices,
+                                 small_graph.features, part, mesh)
+    parts = HostShard.build(small_graph.indptr, small_graph.indices,
+                            small_graph.features, part, 4)
+    for i in range(4):
+        expect = np.stack([p[i] for p in parts])
+        np.testing.assert_array_equal(np.asarray(got[i]), expect)
+
+    rows, edges = HostShard.part_shapes(small_graph.indptr, part, 4)
+    assert int(rows.sum()) == small_graph.num_nodes
+    assert int(edges.sum()) == len(np.asarray(small_graph.indices))
+
+
+def test_partitioned_lifecycle_and_resume(small_graph, tmp_path):
+    """run_partitioned_training: multi-epoch fit on the virtual mesh
+    with Val/Test accuracy and checkpoint resume (SURVEY §7 step 7)."""
+    from legion_tpu.train.partitioned_driver import run_partitioned_training
+    from legion_tpu.config import ParallelConfig
+
+    def mk(epochs):
+        return Config(
+            dataset=DatasetConfig(num_classes=small_graph.num_classes),
+            sampler=SamplerConfig(fanouts=(4, 3), batch_size=32,
+                                  eval_batch_size=64),
+            model=ModelConfig(arch="sage", hidden_dim=16, num_layers=2,
+                              dropout=0.0),
+            train=TrainConfig(learning_rate=0.01, seed=0, epochs=epochs,
+                              checkpoint_dir=str(tmp_path / "ck")),
+            parallel=ParallelConfig(num_devices=4))
+
+    out = run_partitioned_training(mk(2), small_graph, log=lambda s: None)
+    assert out["mesh"] == {"data": 4}
+    assert 0.0 <= out["edge_cut"] < 1.0
+    assert out["history"][1]["loss"] < out["history"][0]["loss"]
+    chance = 1.0 / small_graph.num_classes
+    assert out["history"][-1]["valid"] > 1.5 * chance
+    assert out["test_acc"] > 1.5 * chance
+
+    logs = []
+    out2 = run_partitioned_training(mk(3), small_graph, log=logs.append)
+    assert any("resumed from checkpoint" in l for l in logs)
+    assert [r["epoch"] for r in out2["history"]] == [2]

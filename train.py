@@ -66,6 +66,12 @@ def main():
                     choices=["hbm", "hbm_sharded"],
                     help="multi-chip HBM feature placement: replicated "
                          "per chip or row-striped over the cache axis")
+    ap.add_argument("--partitioned", action="store_true",
+                    help="edge-partitioned multi-host training: each "
+                         "host owns one graph partition, remote hops + "
+                         "halo features ride collectives (launch with "
+                         "LEGION_COORDINATOR/NUM_PROCESSES/PROCESS_ID "
+                         "for a real multi-host run)")
     args = ap.parse_args()
 
     from legion_tpu.config import (DATASET_REGISTRY, CacheConfig, Config,
@@ -123,7 +129,10 @@ def main():
                  or cfg.dataset.topology_placement == "host")
     multi = cfg.parallel.num_devices != 1
     print(cfg.to_json())
-    if topo_host:
+    if getattr(args, "partitioned", False):
+        from legion_tpu.train.partitioned_driver import run_partitioned_training
+        run_partitioned_training(cfg, data)
+    elif topo_host:
         from legion_tpu.train.hybrid_driver import run_hybrid_training
         run_hybrid_training(cfg, data)
     elif cfg.cache.enabled and multi:
