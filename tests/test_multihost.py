@@ -128,3 +128,77 @@ def test_partitioned_lifecycle_and_resume(small_graph, tmp_path):
     out2 = run_partitioned_training(mk(3), small_graph, log=logs.append)
     assert any("resumed from checkpoint" in l for l in logs)
     assert [r["epoch"] for r in out2["history"]] == [2]
+
+
+def test_partitioned_within_bound_of_dp(small_graph):
+    """Scaling guard (VERDICT r1 #8): the partitioned step's edges/s
+    must stay within a (loose, CPU-timing-tolerant) factor of the DP
+    step's at 4 devices. Catches structural regressions — e.g. a
+    collective accidentally serialized per hop. Measured ratio on the
+    virtual mesh is ~0.9 (docs/ARCHITECTURE.md scaling table)."""
+    import time
+
+    from legion_tpu.parallel.dp import make_dp_train_step
+    from legion_tpu.parallel.mesh import make_mesh
+    from legion_tpu.sampling.sampler import DeviceGraph, sample_batch
+
+    k, b, fanouts = 4, 64, (4, 3)
+    cfg = Config(
+        dataset=DatasetConfig(num_classes=small_graph.num_classes),
+        sampler=SamplerConfig(fanouts=fanouts, batch_size=b),
+        model=ModelConfig(arch="sage", hidden_dim=16, num_layers=2,
+                          dropout=0.0),
+        train=TrainConfig(learning_rate=0.01, seed=0),
+    )
+    caps = frontier_caps(b, fanouts)
+    model = build_model("sage", 16, small_graph.num_classes, 2, 0.0)
+    g = DeviceGraph.from_host(small_graph.indptr, small_graph.indices)
+    feats = jnp.asarray(np.asarray(small_graph.features))
+    batch0 = sample_batch(jax.random.PRNGKey(0), g,
+                          jnp.arange(b, dtype=jnp.int32),
+                          jnp.full((), b, jnp.int32),
+                          jnp.zeros((b,), jnp.int32), fanouts, caps)
+    x0 = jnp.zeros((caps[-1], small_graph.feature_dim), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        tuple(reversed(batch0.blocks)), x0,
+                        deterministic=True)["params"]
+
+    ids = np.asarray(small_graph.train_ids)
+    seeds_np = np.random.default_rng(0).permutation(ids)[: k * b].astype(
+        np.int32)
+    labels_np = np.asarray(small_graph.labels)[seeds_np].astype(np.int32)
+
+    def rate(step_fn, args, put):
+        st = create_train_state(
+            jax.tree_util.tree_map(jnp.copy, params), 0.01, 0)
+        st, m = step_fn(st, *args)           # compile + warm
+        _ = float(m["loss"])
+        best = np.inf
+        for _i in range(3):
+            t0 = time.perf_counter()
+            st, m = step_fn(st, *args)
+            e = float(m["edges"]); _ = float(m["loss"])
+            best = min(best, (time.perf_counter() - t0) / e)
+        return 1.0 / best
+
+    dmesh = make_mesh(k, cache_group_size=1)
+    dsh = NamedSharding(dmesh, P(("data", "cache")))
+    dstep, _ = make_dp_train_step(cfg, model, caps, dmesh)
+    dp_rate = rate(dstep, (g, feats, jax.device_put(seeds_np, dsh),
+                           jnp.full((), b, jnp.int32),
+                           jax.device_put(labels_np, dsh)), dsh)
+
+    pmesh = Mesh(np.array(jax.devices()[:k]), ("data",))
+    part = partition_graph(small_graph, k, mode="greedy")
+    pstep, put_shards = make_partitioned_train_step(cfg, model, caps,
+                                                    pmesh)
+    shard_args = put_shards(small_graph.indptr, small_graph.indices,
+                            small_graph.features, part)
+    psh = NamedSharding(pmesh, P("data"))
+    part_rate = rate(pstep, (*shard_args,
+                             jax.device_put(seeds_np, psh),
+                             jax.device_put(np.full((k,), b, np.int32),
+                                            psh),
+                             jax.device_put(labels_np, psh)), psh)
+
+    assert part_rate > 0.25 * dp_rate, (part_rate, dp_rate)

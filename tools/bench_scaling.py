@@ -72,11 +72,17 @@ def main():
                         tuple(reversed(batch0.blocks)), x0,
                         deterministic=True)["params"]
 
+    from jax.sharding import Mesh
+    from legion_tpu.data.partition import partition_graph
+    from legion_tpu.parallel.multihost import (
+        AXIS, make_partitioned_train_step)
+
     ndev = len(jax.devices())
-    results = {}
+    results, results_part = {}, {}
     sizes = [k for k in (1, 2, 4, 8, 16) if k <= ndev]
     ids = np.asarray(data.train_ids)
     rng = np.random.default_rng(0)
+    reps = 10
     for k in sizes:
         mesh = make_mesh(k, cache_group_size=1)
         step, _ = make_dp_train_step(cfg, model, caps, mesh)
@@ -92,20 +98,49 @@ def main():
         state, m = step(state, graph, feats, s, nb, l)
         _ = float(m["loss"])
         t0 = time.perf_counter()
-        reps = 10
         for _i in range(reps):
             state, m = step(state, graph, feats, s, nb, l)
         e = float(m["edges"]); _ = float(m["loss"])
         dt = (time.perf_counter() - t0) / reps
         results[k] = e / dt
-        print(f"{k} chips: {e / dt:.3e} edges/s", file=sys.stderr, flush=True)
+        print(f"{k} chips DP: {e / dt:.3e} edges/s", file=sys.stderr,
+              flush=True)
+
+        # ---- edge-partitioned path at the same size --------------------
+        pmesh = Mesh(np.array(jax.devices()[:k]), (AXIS,))
+        part = partition_graph(data, k, mode="greedy")
+        pstep, put_shards = make_partitioned_train_step(cfg, model, caps,
+                                                        pmesh)
+        shard_args = put_shards(data.indptr, data.indices, data.features,
+                                part)
+        pstate = create_train_state(
+            jax.tree_util.tree_map(jnp.copy, params), 0.003, 0)
+        psh = NamedSharding(pmesh, P(AXIS))
+        ps = jax.device_put(seeds, psh)
+        pl = jax.device_put(labels, psh)
+        pnb = jax.device_put(np.full((k,), b, np.int32), psh)
+        pstate, m = pstep(pstate, *shard_args, ps, pnb, pl)
+        _ = float(m["loss"])
+        t0 = time.perf_counter()
+        for _i in range(reps):
+            pstate, m = pstep(pstate, *shard_args, ps, pnb, pl)
+        e = float(m["edges"]); _ = float(m["loss"])
+        dt = (time.perf_counter() - t0) / reps
+        results_part[k] = e / dt
+        print(f"{k} chips partitioned: {e / dt:.3e} edges/s",
+              file=sys.stderr, flush=True)
 
     base = results[sizes[0]]
     effs = {k: results[k] / (base * k / sizes[0]) for k in sizes}
+    ratio = {k: results_part[k] / results[k] for k in sizes}
     print(json.dumps({
         "metric": "dp_scaling_edges_per_s",
         "per_size": {str(k): round(v, 1) for k, v in results.items()},
         "efficiency": {str(k): round(v, 3) for k, v in effs.items()},
+        "partitioned_per_size": {str(k): round(v, 1)
+                                 for k, v in results_part.items()},
+        "partitioned_vs_dp": {str(k): round(v, 3)
+                              for k, v in ratio.items()},
         "backend": jax.default_backend(),
     }))
 
