@@ -45,7 +45,12 @@ from legion_tpu.train.loop import make_step_fns
 from legion_tpu.train.train_state import create_train_state
 
 BATCH = int(os.environ.get("BENCH_BATCH", 8000))
-STEPS = int(os.environ.get("BENCH_STEPS", 20))
+# Measurement window. A real epoch at batch 8000 on this graph is ~245
+# steps; the scan carries a fixed ~50ms of tunnel dispatch + final-fetch
+# overhead per call, so too short a window under-reports sustained
+# throughput (20 steps: -12%). 40 keeps one trial under a minute while
+# amortizing the fixed cost to ~1.3 ms/step.
+STEPS = int(os.environ.get("BENCH_STEPS", 40))
 NODES = int(os.environ.get("BENCH_NODES", 2_449_029))
 DEG = int(os.environ.get("BENCH_DEG", 50))
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
@@ -204,7 +209,8 @@ def main():
     # Delete .bench_cache/baseline_*.json to force a re-measure.
     memo = os.path.join(
         CACHE_DIR, f"baseline_{NODES}_{DEG}_{BATCH}_{DTYPE}_s{SLACK}"
-        + ("" if PRNG == "rbg" else f"_{PRNG}") + ".json")
+        + ("" if PRNG == "rbg" else f"_{PRNG}")
+        + (f"_n{STEPS}" if STEPS != 20 else "") + ".json")
     if os.path.exists(memo):
         eps_coo = json.load(open(memo))["edges_per_s"]
         log(f"[coo_segment] baseline from cache: {eps_coo:.3e} edges/s")

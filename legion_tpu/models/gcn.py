@@ -59,7 +59,17 @@ class GraphConvLayer(nn.Module):
         # shrink the random row gather + backward scatter (same move as
         # SAGEConv); bias is added after the norm either way.
         if self.out_dim < h_src.shape[-1]:
-            agg = fanout_gather_sum(dense(h), block)
+            from legion_tpu.ops.identity_agg_pallas import (
+                gathered_masked_mean, gathered_mean_supported)
+            h_t = dense(h)
+            if (self.dtype == jnp.bfloat16
+                    and gathered_mean_supported(h_t, block.nbr_mask)):
+                # fused masked sum on the gathered rows (no (P, f, D)
+                # re-tile; see models.sage)
+                agg = gathered_masked_mean(h_t, block.nbr_pos,
+                                           block.nbr_mask, norm="sum")
+            else:
+                agg = fanout_gather_sum(h_t, block)
         else:
             agg = dense(fanout_gather_sum(h, block))
         agg = agg * (1.0 / jnp.sqrt(jnp.maximum(dst_deg, 1.0)))[:, None]

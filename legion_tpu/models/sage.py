@@ -62,7 +62,18 @@ class SAGEConv(nn.Module):
             h_neigh = fc_neigh(agg)
         elif (self.agg == "fanout" and block.identity_offset is None
                 and narrower):
-            h_neigh = AGGREGATORS[self.agg](fc_neigh(h_src), block)
+            from legion_tpu.ops.identity_agg_pallas import (
+                gathered_mean_supported, gathered_masked_mean)
+            h_t = fc_neigh(h_src)
+            if (self.dtype == jnp.bfloat16
+                    and gathered_mean_supported(h_t, block.nbr_mask)):
+                # fused masked mean on the gathered rows: no (P, f, D)
+                # re-tiling reshape fwd or bwd (the gather's scatter-add
+                # transpose stays on XLA)
+                h_neigh = gathered_masked_mean(h_t, block.nbr_pos,
+                                               block.nbr_mask)
+            else:
+                h_neigh = AGGREGATORS[self.agg](h_t, block)
         else:
             h_neigh = fc_neigh(AGGREGATORS[self.agg](h_src, block))
         out = (nn.Dense(self.out_dim, use_bias=True, dtype=self.dtype,

@@ -67,7 +67,9 @@ def _kernel(x_hbm, mask_ref, out_ref, scratch, sems, *,
     band = (e_iota >= lo) & (e_iota < lo + fanout)
     s = jnp.where(band, m_rep, 0.0).astype(jnp.bfloat16)
     dma(i % 2, i).wait()
-    rows = scratch[i % 2].astype(jnp.bfloat16)
+    rows = scratch[i % 2]
+    if rows.dtype != jnp.bfloat16:
+        rows = rows.astype(jnp.bfloat16)
     agg = jnp.dot(s, rows, preferred_element_type=jnp.float32)
     denom = jnp.maximum(cnt, 1.0)
     if norm == "mean":                      # SAGE mean aggregator
@@ -86,21 +88,23 @@ def supported(x: jnp.ndarray, nbr_mask: jnp.ndarray,
               identity_offset: int) -> bool:
     p, f = nbr_mask.shape
     return (jax.default_backend() == "tpu"
-            and x.dtype == jnp.float32
+            and x.dtype in (jnp.float32, jnp.bfloat16)
             and p % TILE_P == 0
             and x.shape[1] % 128 == 0
             and x.shape[0] >= identity_offset + p * f
-            and 2 * TILE_P * f * x.shape[1] * 4 <= _SCRATCH_VMEM_LIMIT)
+            and 2 * TILE_P * f * x.shape[1] * x.dtype.itemsize
+            <= _SCRATCH_VMEM_LIMIT)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("identity_offset", "out_dtype",
-                                    "norm", "interpret"))
+                                    "norm", "interpret", "tile_p"))
 def identity_masked_mean_pallas(x: jnp.ndarray, nbr_mask: jnp.ndarray,
                                 identity_offset: int,
                                 out_dtype=jnp.bfloat16,
                                 norm: str = "mean",
-                                interpret: bool = False) -> jnp.ndarray:
+                                interpret: bool = False,
+                                tile_p: int = TILE_P) -> jnp.ndarray:
     """out[d] = reduce over valid slots j of x[identity_offset + d*f + j].
 
     norm: "mean" (SAGE), "sqrt" (GCN 'both': sum / sqrt(in-deg); the src
@@ -113,25 +117,104 @@ def identity_masked_mean_pallas(x: jnp.ndarray, nbr_mask: jnp.ndarray,
     """
     p, fanout = nbr_mask.shape
     d = x.shape[1]
-    assert p % TILE_P == 0 and d % 128 == 0
+    assert p % tile_p == 0 and d % 128 == 0
     assert norm in ("mean", "sqrt", "sum")
-    tpf = TILE_P * fanout
+    tpf = tile_p * fanout
 
     return pl.pallas_call(
         functools.partial(_kernel, prefix=identity_offset,
-                          fanout=fanout, tile_p=TILE_P, norm=norm),
-        grid=(p // TILE_P,),
+                          fanout=fanout, tile_p=tile_p, norm=norm),
+        grid=(p // tile_p,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),            # x stays HBM
-            pl.BlockSpec((TILE_P, fanout), lambda i: (i, 0),
+            pl.BlockSpec((tile_p, fanout), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_P, d), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile_p, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p, d), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, tpf, d), jnp.float32),
+            pltpu.VMEM((2, tpf, d), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(x, nbr_mask)
+
+
+def _pad_lanes(a: jnp.ndarray) -> jnp.ndarray:
+    d = a.shape[1]
+    dpad = (d + 127) // 128 * 128
+    return a if d == dpad else jnp.pad(a, ((0, 0), (0, dpad - d)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _masked_agg_rows(rows: jnp.ndarray, nbr_mask: jnp.ndarray,
+                     norm: str = "mean",
+                     interpret: bool = False) -> jnp.ndarray:
+    """out[d] = norm-reduce over valid slots j of rows[d*f + j] — the
+    fused kernel applied to an already-gathered (P*f, D) row array
+    (prefix 0), made differentiable in ``rows``.
+
+    Unlike the raw-feature identity path, gathered rows DO carry
+    gradient (they are fc_neigh outputs); the backward of a grouped
+    masked mean/sum is a broadcast — d_rows[d*f+j] = m[d,j] * d_out[d]
+    (/ cnt[d] for mean) — i.e. a monotone row-repeat, NOT a scatter,
+    and with no (P, f, D) re-tiling reshape on either pass (the XLA
+    take+reshape formulation spends ~0.85 ms/step re-tiling sublanes at
+    bench shapes, xprof reshape.782/784)."""
+    return identity_masked_mean_pallas(
+        rows, nbr_mask, 0, out_dtype=rows.dtype, norm=norm,
+        interpret=interpret)
+
+
+def _masked_agg_rows_fwd(rows, nbr_mask, norm, interpret):
+    return _masked_agg_rows(rows, nbr_mask, norm, interpret), nbr_mask
+
+
+def _masked_agg_rows_bwd(norm, interpret, nbr_mask, g):
+    import numpy as np
+    p, f = nbr_mask.shape
+    cnt = jnp.sum(nbr_mask, axis=1, keepdims=True).astype(g.dtype)
+    denom = jnp.maximum(cnt, 1)
+    if norm == "mean":
+        scale = g / denom
+    elif norm == "sqrt":
+        scale = g * jax.lax.rsqrt(denom.astype(jnp.float32)).astype(g.dtype)
+    else:                                                  # sum
+        scale = g
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (p * f, 1), 0)
+           // f).squeeze(-1)
+    d_rows = jnp.take(scale, idx, axis=0) * nbr_mask.reshape(-1)[:, None
+                                                                 ].astype(g.dtype)
+    return d_rows, np.zeros(nbr_mask.shape, jax.dtypes.float0)
+
+
+_masked_agg_rows.defvjp(_masked_agg_rows_fwd, _masked_agg_rows_bwd)
+
+
+def gathered_mean_supported(h_t: jnp.ndarray, nbr_mask: jnp.ndarray) -> bool:
+    p, f = nbr_mask.shape
+    dpad = (h_t.shape[1] + 127) // 128 * 128
+    return (jax.default_backend() == "tpu"
+            and h_t.dtype in (jnp.float32, jnp.bfloat16)
+            and p % TILE_P == 0
+            and 2 * TILE_P * f * dpad * h_t.dtype.itemsize
+            <= _SCRATCH_VMEM_LIMIT)
+
+
+def gathered_masked_mean(h_t: jnp.ndarray, nbr_pos: jnp.ndarray,
+                         nbr_mask: jnp.ndarray, norm: str = "mean",
+                         interpret: bool = False) -> jnp.ndarray:
+    """Fanout aggregation of transformed activations:
+    out[d] = norm-reduce_{valid j} h_t[nbr_pos[d, j]] with shape (P, D);
+    norm: "mean" (SAGE), "sum" (GCN pre-norm), "sqrt".
+
+    The row gather stays on XLA (its VJP is the unavoidable
+    scatter-add transpose); the masked reduce runs as the fused kernel,
+    replacing take->(P,f,D) reshape->mask->reduce. Lane dim is padded
+    to 128 BEFORE the gather so the pad fuses into the producing
+    matmul rather than copying the gathered rows."""
+    d = h_t.shape[1]
+    rows = jnp.take(_pad_lanes(h_t), nbr_pos.reshape(-1), axis=0)
+    out = _masked_agg_rows(rows, nbr_mask, norm, interpret)
+    return out[:, :d]

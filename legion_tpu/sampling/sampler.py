@@ -338,12 +338,23 @@ def grow_frontier(frontier_prev: jnp.ndarray, num_prev: jnp.ndarray,
     _, pos_orig = jax.lax.sort([sorig, pos_sorted], num_keys=1)
     nbr_pos = pos_orig[prev_cap:].reshape(p, fanout)
 
-    # frontier: prev prefix + new ids at their appended positions
-    frontier_new = jnp.full((cap_new,), -1, jnp.int32)
-    frontier_new = frontier_new.at[:prev_cap].set(frontier_prev)
-    frontier_new = frontier_new.at[
-        jnp.where(new_first, num_prev + new_rank, cap_new)
-    ].set(s, mode="drop")
+    # frontier: prev prefix + new ids at their appended positions.
+    # Built by SORTING (id, target-position) rather than scattering:
+    # the at[pos].set scatter of `total` ids measured 1.06 ms at bench
+    # shapes vs 0.23 ms for the equivalent KV sort (xprof fusion.253 vs
+    # sort.75). First occurrences carry distinct in-range targets (old:
+    # their prev index < num_prev; new: num_prev+rank), everything else
+    # sorts to the tail as cap_new and yields the -1 padding.
+    target = jnp.where(first & (pos_at_first < cap_new),
+                       pos_at_first, cap_new)
+    fval = jnp.where(target < cap_new, s, -1)
+    if total < cap_new:  # degenerate caps: pad so the slice below is full
+        target = jnp.concatenate(
+            [target, jnp.full((cap_new - total,), cap_new, jnp.int32)])
+        fval = jnp.concatenate(
+            [fval, jnp.full((cap_new - total,), -1, jnp.int32)])
+    _, frontier_new = jax.lax.sort([target, fval], num_keys=1)
+    frontier_new = frontier_new[:cap_new]
 
     nbr_mask = neighbors >= 0
     block = Block(

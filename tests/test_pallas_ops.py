@@ -140,3 +140,42 @@ def test_identity_agg_pallas_sqrt_norm():
     want = rows.sum(1) / np.sqrt(np.maximum(mask.sum(1), 1))[:, None]
     np.testing.assert_allclose(np.asarray(out), want, rtol=2e-2, atol=2e-2)
     assert np.all(np.asarray(out)[3] == 0.0)
+
+
+def test_gathered_masked_mean_and_vjp():
+    """gathered_masked_mean == take+reshape+mask+mean, value AND grad
+    (the custom VJP routes d_rows through a broadcast-repeat and the
+    gather's own scatter-add transpose)."""
+    from legion_tpu.ops.identity_agg_pallas import gathered_masked_mean
+    from legion_tpu.ops.segment import fanout_gather_mean
+    from legion_tpu.sampling.block import Block
+    rng = np.random.default_rng(6)
+    p, f, s, d = 128, 7, 300, 100     # d not lane-aligned on purpose
+    h = rng.standard_normal((s, d)).astype(np.float32)
+    mask = rng.random((p, f)) > 0.4
+    mask[5] = False                   # zero-in-degree dst
+    pos = rng.integers(0, s, (p, f)).astype(np.int32)
+    pos = np.where(mask, pos, 0)
+    blk = Block(nbr_pos=jnp.asarray(pos), nbr_mask=jnp.asarray(mask),
+                num_src=jnp.int32(s), num_dst=jnp.int32(p))
+
+    def ref(hj):
+        return fanout_gather_mean(hj, blk)
+
+    def fused(hj):
+        return gathered_masked_mean(hj, jnp.asarray(pos),
+                                    jnp.asarray(mask), interpret=True)
+
+    hj = jnp.asarray(h)
+    with _interpret():
+        out = fused(hj)
+    want = np.asarray(ref(hj))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-2, atol=2e-2)
+    assert np.all(np.asarray(out)[5] == 0.0)
+
+    w = jnp.asarray(rng.standard_normal((p, d)).astype(np.float32))
+    with _interpret():
+        g_fused = jax.grad(lambda x: jnp.sum(fused(x) * w))(hj)
+    g_ref = jax.grad(lambda x: jnp.sum(ref(x) * w))(hj)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=2e-2, atol=2e-2)

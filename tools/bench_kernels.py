@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Compile-and-verify every production Pallas kernel on the real chip.
+
+CI runs the kernels in interpret mode only (tests/conftest.py forces the
+virtual CPU mesh), so a Mosaic regression — a kernel that stops
+compiling or miscompiles on real hardware — would pass CI silently
+behind the `supported()` fallbacks. This tool is the on-chip gate:
+each kernel is compiled, checked against its XLA/numpy oracle, and
+timed. Run after any kernel or jaxlib change:
+
+    python tools/bench_kernels.py          # exits non-zero on mismatch
+
+Prints one line per kernel and a final JSON summary.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sync(x):
+    np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0])
+
+
+def timeit(fn, reps=10):
+    out = fn()
+    sync(out)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        sync(out)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
+def main():
+    assert jax.default_backend() == "tpu", (
+        f"on-chip gate needs the TPU backend, got {jax.default_backend()}")
+    rng = np.random.default_rng(0)
+    results = []
+    failures = []
+
+    def check(name, ok, ms):
+        results.append({"kernel": name, "ok": bool(ok), "ms": round(ms, 3)})
+        print(f"{name:42s} {'OK ' if ok else 'FAIL'} {ms:8.3f} ms",
+              flush=True)
+        if not ok:
+            failures.append(name)
+
+    # ---- identity_masked_mean_pallas (f32 in, bf16 out, mean/sqrt) ------
+    from legion_tpu.ops.identity_agg_pallas import identity_masked_mean_pallas
+    p, f, d, off = 8192, 10, 128, 1024
+    x = rng.standard_normal((off + p * f, d)).astype(np.float32)
+    mask = rng.random((p, f)) > 0.2
+    mask[7] = False
+    want = (x[off:].reshape(p, f, d) * mask[:, :, None]).sum(1)
+    want_mean = want / np.maximum(mask.sum(1), 1)[:, None]
+    for norm, oracle in (("mean", want_mean),
+                         ("sqrt", want / np.sqrt(
+                             np.maximum(mask.sum(1), 1))[:, None])):
+        fn = jax.jit(lambda a, m, norm=norm: identity_masked_mean_pallas(
+            a, m, off, norm=norm))
+        out = np.asarray(fn(jnp.asarray(x), jnp.asarray(mask))
+                         ).astype(np.float32)
+        ok = np.allclose(out, oracle, rtol=3e-2, atol=3e-2)
+        check(f"identity_masked_mean[f32,{norm}]", ok,
+              1e3 * timeit(lambda: fn(jnp.asarray(x), jnp.asarray(mask))))
+
+    # bf16 input path (gathered-rows variant uses it)
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    fnb = jax.jit(lambda a, m: identity_masked_mean_pallas(a, m, off))
+    outb = np.asarray(fnb(xb, jnp.asarray(mask))).astype(np.float32)
+    check("identity_masked_mean[bf16,mean]",
+          np.allclose(outb, want_mean, rtol=5e-2, atol=5e-2),
+          1e3 * timeit(lambda: fnb(xb, jnp.asarray(mask))))
+
+    # ---- gathered_masked_mean + custom VJP ------------------------------
+    from legion_tpu.ops.identity_agg_pallas import gathered_masked_mean
+    s = 4096
+    h = rng.standard_normal((s, 100)).astype(np.float32)
+    pos = rng.integers(0, s, (p, f)).astype(np.int32)
+    pos = np.where(mask, pos, 0)
+    hj = jnp.asarray(h).astype(jnp.bfloat16)
+    gm = jax.jit(lambda a: gathered_masked_mean(a, jnp.asarray(pos),
+                                                jnp.asarray(mask)))
+    out = np.asarray(gm(hj)).astype(np.float32)
+    want = (h[pos] * mask[:, :, None]).sum(1) / np.maximum(
+        mask.sum(1), 1)[:, None]
+    check("gathered_masked_mean[bf16]",
+          np.allclose(out, want, rtol=5e-2, atol=5e-2),
+          1e3 * timeit(lambda: gm(hj)))
+
+    w = jnp.asarray(rng.standard_normal((p, 100)).astype(np.float32))
+    gfn = jax.jit(jax.grad(lambda a: jnp.sum(
+        gathered_masked_mean(a, jnp.asarray(pos),
+                             jnp.asarray(mask)).astype(jnp.float32) * w)))
+    g = np.asarray(gfn(hj)).astype(np.float32)
+    from legion_tpu.ops.segment import fanout_gather_mean
+    from legion_tpu.sampling.block import Block
+    blk = Block(nbr_pos=jnp.asarray(pos), nbr_mask=jnp.asarray(mask),
+                num_src=jnp.int32(s), num_dst=jnp.int32(p))
+    gref = np.asarray(jax.jit(jax.grad(lambda a: jnp.sum(
+        fanout_gather_mean(a, blk).astype(jnp.float32) * w)))(hj)
+    ).astype(np.float32)
+    check("gathered_masked_mean[vjp]",
+          np.allclose(g, gref, rtol=5e-2, atol=5e-2),
+          1e3 * timeit(lambda: gfn(hj)))
+
+    # ---- select_lanes_pallas (big-id lane select) ------------------------
+    from legion_tpu.ops.select_pallas import select_lanes_pallas
+    pw = 16384
+    win = rng.integers(0, 2 ** 30, (pw, 128)).astype(np.int32)
+    offs = rng.integers(0, 128, (pw, 10)).astype(np.int32)
+    sel = jax.jit(select_lanes_pallas)
+    out = np.asarray(sel(jnp.asarray(win), jnp.asarray(offs)))
+    check("select_lanes_pallas",
+          np.array_equal(out, np.take_along_axis(win, offs, axis=1)),
+          1e3 * timeit(lambda: sel(jnp.asarray(win), jnp.asarray(offs))))
+
+    # ---- gather_rows_pallas (kept as reference impl) ---------------------
+    from legion_tpu.ops.gather_pallas import gather_rows_pallas
+    tbl = rng.standard_normal((100_000, 128)).astype(np.float32)
+    ids = rng.integers(-1, 100_000, 8192).astype(np.int32)
+    gr = jax.jit(gather_rows_pallas)
+    out = np.asarray(gr(jnp.asarray(tbl), jnp.asarray(ids)))
+    want = tbl[np.clip(ids, 0, None)]
+    want[ids < 0] = 0
+    check("gather_rows_pallas",
+          np.allclose(out, want),
+          1e3 * timeit(lambda: gr(jnp.asarray(tbl), jnp.asarray(ids))))
+
+    print(json.dumps({"kernels": results, "failures": failures}))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
