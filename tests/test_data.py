@@ -38,3 +38,56 @@ def test_partition_modes(small_graph):
     cut_h = edge_cut_fraction(small_graph, partition_graph(small_graph, 4, "hash"))
     cut_g = edge_cut_fraction(small_graph, partition_graph(small_graph, 4, "greedy"))
     assert cut_g <= cut_h + 0.02
+
+
+def test_ogb_converter_with_mock(tmp_path, monkeypatch):
+    """convert_ogb_node_dataset end-to-end against a mocked ogb package
+    (the real one is unavailable in the zero-egress build env): reverse
+    edges, COO->CSR via the C++ runtime, NaN labels -> -1, split ids,
+    packed round-trip."""
+    import sys
+    import types
+
+    n = 6
+    edge_index = np.array([[0, 1, 2, 4], [1, 2, 3, 5]])
+    feats = np.arange(n * 3, dtype=np.float32).reshape(n, 3)
+    labels = np.array([[0.0], [1.0], [np.nan], [2.0], [1.0], [np.nan]])
+    split = {"train": np.array([0, 1]), "valid": np.array([2]),
+             "test": np.array([3, 4])}
+
+    class FakeDS:
+        def __init__(self, name, root):
+            assert name == "ogbn-fake"
+
+        def __getitem__(self, i):
+            return ({"num_nodes": n, "edge_index": edge_index,
+                     "node_feat": feats}, labels)
+
+        def get_idx_split(self):
+            return split
+
+    mod = types.ModuleType("ogb.nodeproppred")
+    mod.NodePropPredDataset = FakeDS
+    pkg = types.ModuleType("ogb")
+    pkg.nodeproppred = mod
+    monkeypatch.setitem(sys.modules, "ogb", pkg)
+    monkeypatch.setitem(sys.modules, "ogb.nodeproppred", mod)
+
+    from legion_tpu.data.ogb import convert_ogb_node_dataset
+    out = tmp_path / "fake"
+    g = convert_ogb_node_dataset("ogbn-fake", str(tmp_path), str(out),
+                                 add_reverse=True, partitions=2)
+
+    # undirected CSR: each edge appears both ways
+    assert int(g.indptr[-1]) == 2 * edge_index.shape[1]
+    adj0 = np.asarray(g.indices[g.indptr[0]:g.indptr[1]])
+    assert list(adj0) == [1]                       # 0->1 and reverse 1->0
+    adj1 = sorted(np.asarray(g.indices[g.indptr[1]:g.indptr[2]]))
+    assert adj1 == [0, 2]
+    assert list(np.asarray(g.labels)) == [0, 1, -1, 2, 1, -1]
+
+    r = load_dataset(str(out), mmap=False)
+    np.testing.assert_array_equal(np.asarray(r.indptr), np.asarray(g.indptr))
+    np.testing.assert_array_equal(np.asarray(r.features), feats)
+    np.testing.assert_array_equal(np.asarray(r.train_ids), [0, 1])
+    np.testing.assert_array_equal(np.asarray(r.test_ids), [3, 4])

@@ -44,6 +44,13 @@ def timeit(fn, reps=10):
 
 
 def main():
+    try:  # remote compiles are 40-500s each; persist them
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..",
+            ".bench_cache", "jaxcache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     assert jax.default_backend() == "tpu", (
         f"on-chip gate needs the TPU backend, got {jax.default_backend()}")
     rng = np.random.default_rng(0)
