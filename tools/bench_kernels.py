@@ -72,24 +72,25 @@ def main():
     mask[7] = False
     want = (x[off:].reshape(p, f, d) * mask[:, :, None]).sum(1)
     want_mean = want / np.maximum(mask.sum(1), 1)[:, None]
+    xj, mj = jnp.asarray(x), jnp.asarray(mask)   # device-resident: the
+    # timing lambdas must NOT re-upload host arrays through the tunnel
     for norm, oracle in (("mean", want_mean),
                          ("sqrt", want / np.sqrt(
                              np.maximum(mask.sum(1), 1))[:, None])):
         fn = jax.jit(lambda a, m, norm=norm: identity_masked_mean_pallas(
             a, m, off, norm=norm))
-        out = np.asarray(fn(jnp.asarray(x), jnp.asarray(mask))
-                         ).astype(np.float32)
+        out = np.asarray(fn(xj, mj)).astype(np.float32)
         ok = np.allclose(out, oracle, rtol=3e-2, atol=3e-2)
         check(f"identity_masked_mean[f32,{norm}]", ok,
-              1e3 * timeit(lambda: fn(jnp.asarray(x), jnp.asarray(mask))))
+              1e3 * timeit(lambda: fn(xj, mj)))
 
     # bf16 input path (gathered-rows variant uses it)
-    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    xb = xj.astype(jnp.bfloat16)
     fnb = jax.jit(lambda a, m: identity_masked_mean_pallas(a, m, off))
-    outb = np.asarray(fnb(xb, jnp.asarray(mask))).astype(np.float32)
+    outb = np.asarray(fnb(xb, mj)).astype(np.float32)
     check("identity_masked_mean[bf16,mean]",
           np.allclose(outb, want_mean, rtol=5e-2, atol=5e-2),
-          1e3 * timeit(lambda: fnb(xb, jnp.asarray(mask))))
+          1e3 * timeit(lambda: fnb(xb, mj)))
 
     # ---- gathered_masked_mean + custom VJP ------------------------------
     from legion_tpu.ops.identity_agg_pallas import gathered_masked_mean
@@ -98,8 +99,8 @@ def main():
     pos = rng.integers(0, s, (p, f)).astype(np.int32)
     pos = np.where(mask, pos, 0)
     hj = jnp.asarray(h).astype(jnp.bfloat16)
-    gm = jax.jit(lambda a: gathered_masked_mean(a, jnp.asarray(pos),
-                                                jnp.asarray(mask)))
+    pj = jnp.asarray(pos)
+    gm = jax.jit(lambda a: gathered_masked_mean(a, pj, mj))
     out = np.asarray(gm(hj)).astype(np.float32)
     want = (h[pos] * mask[:, :, None]).sum(1) / np.maximum(
         mask.sum(1), 1)[:, None]
@@ -109,12 +110,11 @@ def main():
 
     w = jnp.asarray(rng.standard_normal((p, 100)).astype(np.float32))
     gfn = jax.jit(jax.grad(lambda a: jnp.sum(
-        gathered_masked_mean(a, jnp.asarray(pos),
-                             jnp.asarray(mask)).astype(jnp.float32) * w)))
+        gathered_masked_mean(a, pj, mj).astype(jnp.float32) * w)))
     g = np.asarray(gfn(hj)).astype(np.float32)
     from legion_tpu.ops.segment import fanout_gather_mean
     from legion_tpu.sampling.block import Block
-    blk = Block(nbr_pos=jnp.asarray(pos), nbr_mask=jnp.asarray(mask),
+    blk = Block(nbr_pos=pj, nbr_mask=mj,
                 num_src=jnp.int32(s), num_dst=jnp.int32(p))
     gref = np.asarray(jax.jit(jax.grad(lambda a: jnp.sum(
         fanout_gather_mean(a, blk).astype(jnp.float32) * w)))(hj)
@@ -128,23 +128,25 @@ def main():
     pw = 16384
     win = rng.integers(0, 2 ** 30, (pw, 128)).astype(np.int32)
     offs = rng.integers(0, 128, (pw, 10)).astype(np.int32)
+    winj, offsj = jnp.asarray(win), jnp.asarray(offs)
     sel = jax.jit(select_lanes_pallas)
-    out = np.asarray(sel(jnp.asarray(win), jnp.asarray(offs)))
+    out = np.asarray(sel(winj, offsj))
     check("select_lanes_pallas",
           np.array_equal(out, np.take_along_axis(win, offs, axis=1)),
-          1e3 * timeit(lambda: sel(jnp.asarray(win), jnp.asarray(offs))))
+          1e3 * timeit(lambda: sel(winj, offsj)))
 
     # ---- gather_rows_pallas (kept as reference impl) ---------------------
     from legion_tpu.ops.gather_pallas import gather_rows_pallas
     tbl = rng.standard_normal((100_000, 128)).astype(np.float32)
     ids = rng.integers(-1, 100_000, 8192).astype(np.int32)
+    tblj, idsj = jnp.asarray(tbl), jnp.asarray(ids)
     gr = jax.jit(gather_rows_pallas)
-    out = np.asarray(gr(jnp.asarray(tbl), jnp.asarray(ids)))
+    out = np.asarray(gr(tblj, idsj))
     want = tbl[np.clip(ids, 0, None)]
     want[ids < 0] = 0
     check("gather_rows_pallas",
           np.allclose(out, want),
-          1e3 * timeit(lambda: gr(jnp.asarray(tbl), jnp.asarray(ids))))
+          1e3 * timeit(lambda: gr(tblj, idsj)))
 
     print(json.dumps({"kernels": results, "failures": failures}))
     sys.exit(1 if failures else 0)
