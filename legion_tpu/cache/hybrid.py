@@ -238,6 +238,9 @@ class HybridTrainer:
         key = jax.random.fold_in(state.rng, epoch)
         nb = jnp.full((), b, jnp.int32)
         t0 = _t.perf_counter()
+        # self.stats accumulates for the trainer's lifetime (train + eval
+        # epochs alike); report THIS epoch's deltas, not the running total.
+        stats0 = dict(self.stats)
         losses = []
         feat_stats = np.zeros(4, np.int64)
         host_feat_bytes = 0
@@ -270,11 +273,8 @@ class HybridTrainer:
             feat_stats += fstats.astype(np.int64)
             host_feat_bytes += (min(int(fstats[1]), self.fcache.miss_cap)
                                 * dim * itemsize)
-            ck = self.cfg.train
-            if (ck.checkpoint_dir and ck.checkpoint_every_steps
-                    and (i + 1) % ck.checkpoint_every_steps == 0):
-                from legion_tpu.train.train_state import save_checkpoint
-                save_checkpoint(ck.checkpoint_dir, state)
+            from legion_tpu.train.train_state import maybe_checkpoint_step
+            maybe_checkpoint_step(self.cfg.train, state, i)
 
         dt = _t.perf_counter() - t0
         return {
@@ -285,11 +285,13 @@ class HybridTrainer:
                 feat_stats[2]), 1.0),
             "staging_overflow": int(feat_stats[3]),
             "host_feat_gb": host_feat_bytes / 2 ** 30,
-            "host_topo_gb": self.stats["host_topo_bytes"] / 2 ** 30,
+            "host_topo_gb": (self.stats["host_topo_bytes"]
+                             - stats0["host_topo_bytes"]) / 2 ** 30,
             "topo_hot_fraction": (
-                self.stats["hot"] / max(self.stats["hot"]
-                                        + self.stats["cold"], 1)),
-            "fetches": self.stats["fetches"],
+                (self.stats["hot"] - stats0["hot"])
+                / max((self.stats["hot"] - stats0["hot"])
+                      + (self.stats["cold"] - stats0["cold"]), 1)),
+            "fetches": self.stats["fetches"] - stats0["fetches"],
         }
 
     def eval_epoch(self, params, seeds: np.ndarray, counts: np.ndarray,
@@ -298,7 +300,10 @@ class HybridTrainer:
         feature path (the reference's per-epoch valid / final test,
         ``legion_graphsage.py:159-181``)."""
         key = key if key is not None else jax.random.PRNGKey(4242)
-        a_sum = b_sum = 0.0
+        # accumulate on device; ONE fetch at the end (per-step scalar
+        # fetches cost ~100ms each over the tunnel, CLAUDE.md)
+        a_acc = jnp.zeros((), jnp.float32)
+        b_acc = jnp.zeros((), jnp.float32)
         steps = seeds.shape[0]
         if steps == 0:
             return float("nan")
@@ -321,8 +326,9 @@ class HybridTrainer:
                 frontier=frontier, num_frontier=num, blocks=tuple(blocks))
             a, bb = self._jit_eval(params, self.fcache.rows, batch, plan,
                                    staged)
-            a_sum += float(jax.device_get(a))
-            b_sum += float(jax.device_get(bb))
+            a_acc = a_acc + a.astype(jnp.float32)
+            b_acc = b_acc + bb.astype(jnp.float32)
+        a_sum = float(jax.device_get(a_acc))
         if self.is_lp:
             return a_sum / max(steps, 1)
-        return a_sum / max(b_sum, 1.0)
+        return a_sum / max(float(jax.device_get(b_acc)), 1.0)

@@ -169,11 +169,8 @@ class CachedTrainer:
             overflow += n_over
             host_bytes += (min(n_miss, staged.shape[0])
                            * staged.shape[1] * staged.dtype.itemsize)
-            ck = self.cfg.train
-            if (ck.checkpoint_dir and ck.checkpoint_every_steps
-                    and (i + 1) % ck.checkpoint_every_steps == 0):
-                from legion_tpu.train.train_state import save_checkpoint
-                save_checkpoint(ck.checkpoint_dir, state)
+            from legion_tpu.train.train_state import maybe_checkpoint_step
+            maybe_checkpoint_step(self.cfg.train, state, i)
 
         last_loss = float(jax.device_get(losses[-1])) if losses else float("nan")
         dt = time.perf_counter() - t0

@@ -227,11 +227,8 @@ class StripedCachedTrainer:
             host_bytes += int(np.minimum(stats[:, 1],
                                          self.cache.miss_cap).sum()
                               ) * dim * itemsize
-            ck = self.cfg.train
-            if (ck.checkpoint_dir and ck.checkpoint_every_steps
-                    and (i + 1) % ck.checkpoint_every_steps == 0):
-                from legion_tpu.train.train_state import save_checkpoint
-                save_checkpoint(ck.checkpoint_dir, state)
+            from legion_tpu.train.train_state import maybe_checkpoint_step
+            maybe_checkpoint_step(self.cfg.train, state, i)
 
         last_loss = float(jax.device_get(losses[-1])) if losses else float("nan")
         dt = time.perf_counter() - t0
@@ -249,7 +246,10 @@ class StripedCachedTrainer:
         key = key if key is not None else jax.random.PRNGKey(4242)
         n = self.n_shards
         params = jax.device_put(params, self._rep)
-        a_sum = b_sum = 0.0
+        # accumulate on device (in eval_from's own output sharding); ONE
+        # fetch at the end (per-step scalar fetches cost ~100ms each
+        # over the tunnel, CLAUDE.md)
+        a_acc = b_acc = None
         for t in range(seeds.shape[0]):
             key, sub = jax.random.split(key)
             sub = jax.device_put(sub, self._rep)
@@ -262,8 +262,11 @@ class StripedCachedTrainer:
             _, staged = self._stage(np.asarray(packed).reshape(n, -1))
             a, b = self.jit_eval_from(params, self.cache.rows, batch,
                                       plan, staged)
-            a_sum += float(jax.device_get(a))
-            b_sum += float(jax.device_get(b))
+            a = a.astype(jnp.float32)
+            b = b.astype(jnp.float32)
+            a_acc = a if a_acc is None else a_acc + a
+            b_acc = b if b_acc is None else b_acc + b
+        a_sum = float(jax.device_get(a_acc))
         if self.is_lp:
             return a_sum / max(seeds.shape[0] * max(n, 1), 1)
-        return a_sum / max(b_sum, 1.0)
+        return a_sum / max(float(jax.device_get(b_acc)), 1.0)

@@ -155,12 +155,24 @@ class Config:
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)
 
+    # keys that existed in older config versions and were removed —
+    # the ONLY unknown keys from_json tolerates; anything else (e.g. a
+    # typo like "learning_rat") raises rather than silently training
+    # with defaults.
+    _REMOVED_KEYS = {"drop_last", "payload_bytes", "data_axis",
+                     "donate_state"}
+
     @staticmethod
     def from_json(s: str) -> "Config":
         d = json.loads(s)
 
-        def mk(cls, sub):  # tolerate keys from older config versions
+        def mk(cls, sub):
             names = {f.name for f in dataclasses.fields(cls)}
+            unknown = set(sub) - names - Config._REMOVED_KEYS
+            if unknown:
+                raise ValueError(
+                    f"unknown {cls.__name__} key(s) {sorted(unknown)}; "
+                    f"valid keys: {sorted(names)}")
             return cls(**{k: v for k, v in sub.items() if k in names})
 
         sampler = dict(d.get("sampler", {}))

@@ -74,6 +74,12 @@ def put_shards_distributed(indptr, indices, features,
     rows, edges = HostShard.part_shapes(indptr, partition, k)
     max_c, max_e = int(rows.max()), max(int(edges.max()), 1)
     mine = local_part_ids(mesh)
+    if not mine:
+        raise ValueError(
+            f"process {jax.process_index()} owns no devices of the "
+            f"{k}-way '{AXIS}' mesh — the mesh must include every "
+            "process's devices (don't narrow num_devices below the "
+            "global device count in a multi-process launch)")
     built = [HostShard.build_one(indptr, indices, features, partition,
                                  p, max_c, max_e) for p in mine]
     sh = NamedSharding(mesh, P(AXIS))

@@ -32,15 +32,12 @@ from legion_tpu.parallel.mesh import make_mesh
 from legion_tpu.sampling.block import frontier_caps
 from legion_tpu.sampling.sampler import DeviceGraph, gather_features, sample_batch
 from legion_tpu.sampling.seeds import (
+    interleave_shards,
     epoch_eval_seeds, epoch_train_seeds, make_seed_plan, shard_node_set)
 from legion_tpu.train.train_state import (
     create_train_state, restore_checkpoint, save_checkpoint)
 
 
-def _interleave(per_shard: np.ndarray) -> np.ndarray:
-    """(shards, steps, b) -> (steps, shards*b)."""
-    return np.ascontiguousarray(per_shard.swapaxes(0, 1).reshape(
-        per_shard.shape[1], -1))
 
 
 class MeshTrainer:
@@ -132,8 +129,8 @@ class MeshTrainer:
         t0 = time.perf_counter()
         self.state, losses, (edges, overflow) = self.jit_epoch(
             self.state, self.graph, self.features,
-            jax.device_put(_interleave(seeds), self._mat),
-            jax.device_put(_interleave(labels), self._mat))
+            jax.device_put(interleave_shards(seeds), self._mat),
+            jax.device_put(interleave_shards(labels), self._mat))
         losses = jax.device_get(losses)
         dt = time.perf_counter() - t0
         overflow = int(jax.device_get(overflow))
@@ -161,10 +158,10 @@ class MeshTrainer:
                        -1).astype(np.int32)
         c, nmask = self.jit_eval_scan(
             self.state.params, self.graph, self.features,
-            jax.device_put(_interleave(seeds), self._mat),
+            jax.device_put(interleave_shards(seeds), self._mat),
             jax.device_put(np.ascontiguousarray(counts.swapaxes(0, 1)),
                            self._mat),
-            jax.device_put(_interleave(lab), self._mat),
+            jax.device_put(interleave_shards(lab), self._mat),
             jax.device_put(jax.random.PRNGKey(12345), self._rep))
         return float(jax.device_get(c)) / max(float(jax.device_get(nmask)),
                                               1.0)

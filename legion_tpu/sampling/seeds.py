@@ -57,6 +57,14 @@ def make_seed_plan(train_counts: List[int], valid_counts: List[int],
                     valid_batch=valid_batch, test_batch=test_batch)
 
 
+def interleave_shards(per_shard: np.ndarray) -> np.ndarray:
+    """(shards, steps, b) -> (steps, shards*b), shard s at columns
+    [s*b, (s+1)*b) — the device-put layout every mesh driver feeds its
+    step/epoch programs (sharded over the trailing batch dim)."""
+    return np.ascontiguousarray(per_shard.swapaxes(0, 1).reshape(
+        per_shard.shape[1], -1))
+
+
 def shard_node_set(ids: np.ndarray, num_shards: int,
                    partition: np.ndarray | None = None) -> List[np.ndarray]:
     """Split a node-id set across DP shards: by partition file when

@@ -32,14 +32,12 @@ from legion_tpu.parallel.launch import (
 from legion_tpu.parallel.multihost import AXIS, make_partitioned_epoch_fns
 from legion_tpu.sampling.block import Block, frontier_caps
 from legion_tpu.sampling.seeds import (
+    interleave_shards,
     epoch_eval_seeds, epoch_train_seeds, make_seed_plan, shard_node_set)
 from legion_tpu.train.train_state import (
     create_train_state, restore_checkpoint, save_checkpoint)
 
 
-def _interleave(per_shard: np.ndarray) -> np.ndarray:
-    return np.ascontiguousarray(per_shard.swapaxes(0, 1).reshape(
-        per_shard.shape[1], -1))
 
 
 def _dummy_blocks(caps, fanouts):
@@ -61,7 +59,13 @@ def run_partitioned_training(cfg: Config, data: GraphData, mesh=None,
     nproc, pid = maybe_initialize_distributed()
     if mesh is None:
         devs = jax.devices()
-        if cfg.parallel.num_devices:
+        # In a real multi-process launch the mesh must span ALL global
+        # devices (each process contributes its own); num_devices only
+        # narrows the mesh on a single process (CI virtual mesh). The
+        # default num_devices=1 means "use everything" here — slicing a
+        # 4-process mesh to [:1] would leave processes 1..3 owning no
+        # partition and crash their shard loading.
+        if nproc == 1 and cfg.parallel.num_devices > 1:
             devs = devs[: cfg.parallel.num_devices]
         mesh = Mesh(np.array(devs), (AXIS,))
     k = mesh.shape[AXIS]
@@ -128,10 +132,10 @@ def run_partitioned_training(cfg: Config, data: GraphData, mesh=None,
                          -1).astype(np.int32)
         c, n = jit_eval(
             state.params, owned, sp, si, fr,
-            jax.device_put(_interleave(seeds_e), mat),
+            jax.device_put(interleave_shards(seeds_e), mat),
             jax.device_put(np.ascontiguousarray(counts_e.swapaxes(0, 1)),
                            mat),
-            jax.device_put(_interleave(lab_e), mat),
+            jax.device_put(interleave_shards(lab_e), mat),
             jax.device_put(jax.random.PRNGKey(12345), rep))
         return float(jax.device_get(c)) / max(float(jax.device_get(n)),
                                               1.0)
@@ -148,8 +152,8 @@ def run_partitioned_training(cfg: Config, data: GraphData, mesh=None,
         t0 = time.perf_counter()
         state, losses, edges = jit_epoch(
             state, owned, sp, si, fr,
-            jax.device_put(_interleave(s), mat), nb,
-            jax.device_put(_interleave(lab), mat))
+            jax.device_put(interleave_shards(s), mat), nb,
+            jax.device_put(interleave_shards(lab), mat))
         losses = jax.device_get(losses)
         dt = time.perf_counter() - t0
         rec = {"epoch": epoch, "loss": float(losses[-1]),

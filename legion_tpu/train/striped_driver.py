@@ -33,6 +33,7 @@ from legion_tpu.models import build_model
 from legion_tpu.sampling.block import frontier_caps
 from legion_tpu.sampling.sampler import DeviceGraph, sample_batch
 from legion_tpu.sampling.seeds import (
+    interleave_shards,
     epoch_eval_seeds, epoch_train_seeds, make_seed_plan, shard_node_set)
 from legion_tpu.train.train_state import (
     create_train_state, restore_checkpoint, save_checkpoint)
@@ -42,10 +43,6 @@ def _round128(x):
     return (int(x) + 127) // 128 * 128
 
 
-def _interleave(per_shard: np.ndarray) -> np.ndarray:
-    """(shards, steps, b) -> (steps, shards*b), shard s at cols [s*b,(s+1)*b)."""
-    return np.ascontiguousarray(per_shard.swapaxes(0, 1).reshape(
-        per_shard.shape[1], -1))
 
 
 def run_striped_training(cfg: Config, data: GraphData, mesh=None,
@@ -173,9 +170,9 @@ def run_striped_training(cfg: Config, data: GraphData, mesh=None,
         lab_e = np.where(seeds_e >= 0,
                          labels_all[np.clip(seeds_e, 0, None)],
                          -1).astype(np.int32)
-        return tr.eval_epoch(state.params, _interleave(seeds_e),
+        return tr.eval_epoch(state.params, interleave_shards(seeds_e),
                              counts_e.swapaxes(0, 1),
-                             _interleave(lab_e))
+                             interleave_shards(lab_e))
 
     history = []
     start_epoch = int(jax.device_get(state.epoch))
@@ -184,9 +181,24 @@ def run_striped_training(cfg: Config, data: GraphData, mesh=None,
         s, _ = epoch_train_seeds(ep_rng, shards, plan)      # (n, steps, b)
         lab = labels_all[s]
         state = state.replace(epoch=jnp.full((), epoch, jnp.int32))
-        r = tr.run_epoch(state, _interleave(s),
-                         _interleave(lab.astype(np.int32)))
+        r = tr.run_epoch(state, interleave_shards(s),
+                         interleave_shards(lab.astype(np.int32)))
         state = r.pop("state")
+        if r["staging_overflow"] > 0 and miss_cap < caps[-1]:
+            # grow staging past the worst observed per-step need and
+            # rebuild (one recompile); overflowed rows in the epoch just
+            # run read as zeros (reported below) — same recovery as
+            # cached_driver's single-chip path.
+            need = miss_cap + r["staging_overflow"] / max(r["steps"], 1)
+            miss_cap = int(min(caps[-1], _round128(need * 2.0)))
+            log(f"staging overflow -> growing miss_cap to {miss_cap}")
+            cache = StripedFeatureCache.build(
+                host_feats, cost.feat_order, cost.feat_capacity,
+                miss_cap, mesh, dtype=cache_dtype)
+            tr = StripedCachedTrainer(
+                cfg, model, caps, graph, cache, mesh,
+                host_stage=lambda ids: gather_rows(host_feats, ids)
+                .astype(cache_dtype))
         r["epoch"] = epoch
         r["valid"] = eval_set(np.asarray(data.valid_ids))
         history.append(r)

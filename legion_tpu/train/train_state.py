@@ -81,3 +81,13 @@ def restore_checkpoint(ckpt_dir: str, state: TrainState) -> Optional[TrainState]
     with ocp.StandardCheckpointer() as ck:
         restored = ck.restore(path, template)
     return state.replace(**restored)
+
+
+def maybe_checkpoint_step(train_cfg, state: TrainState, step_index: int
+                          ) -> None:
+    """Mid-epoch checkpoint cadence (TrainConfig.checkpoint_every_steps),
+    shared by the pipelined trainers so the cadence can't drift between
+    drivers."""
+    if (train_cfg.checkpoint_dir and train_cfg.checkpoint_every_steps
+            and (step_index + 1) % train_cfg.checkpoint_every_steps == 0):
+        save_checkpoint(train_cfg.checkpoint_dir, state)

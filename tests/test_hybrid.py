@@ -111,6 +111,11 @@ def test_hybrid_driver_eval_and_fetch_budget(small_graph):
     assert h0["fetches"] == hops * train_steps + 1, h0
     naive = (2 * hops + 1) * train_steps
     assert naive / h0["fetches"] >= 2.0
+    # per-EPOCH metering: later epochs must report their own deltas, not
+    # the trainer-lifetime totals (which also accumulate eval epochs)
+    for h in res["history"][1:]:
+        assert h["fetches"] == hops * h["steps"] + 1, h
+        assert 0.0 <= h["topo_hot_fraction"] <= 1.0
 
 
 def test_hybrid_driver_kill_and_resume(small_graph, tmp_path):
