@@ -75,7 +75,15 @@ def run_partitioned_training(cfg: Config, data: GraphData, mesh=None,
 
     # ---- partition + per-process shard loading -----------------------------
     t0 = time.perf_counter()
-    part = partition_graph(data, k, mode="greedy")
+    if (getattr(data, "partition", None) is not None
+            and int(np.asarray(data.partition).max()) + 1 == k):
+        # precomputed k-way partition from the dataset dir (the
+        # reference's XtraPulp partition_<k>_bn file,
+        # src/GPUGraphStore.cu:324-339)
+        part = np.asarray(data.partition).astype(np.int32)
+        log(f"using precomputed {k}-way partition from dataset")
+    else:
+        part = partition_graph(data, k, mode="greedy")
     cut = edge_cut_fraction(data, part)
     owned, sp, si, fr = put_shards_distributed(
         data.indptr, data.indices, data.features, part, mesh)

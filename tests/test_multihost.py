@@ -202,3 +202,30 @@ def test_partitioned_within_bound_of_dp(small_graph):
                              jax.device_put(labels_np, psh)), psh)
 
     assert part_rate > 0.25 * dp_rate, (part_rate, dp_rate)
+
+
+def test_partitioned_uses_precomputed_partition(small_graph, tmp_path):
+    """A dataset carrying a k-way partition file (the reference's
+    XtraPulp partition_<k>_bn, src/GPUGraphStore.cu:324-339) is used
+    verbatim instead of re-partitioning."""
+    import dataclasses as _dc
+
+    from legion_tpu.config import (Config, DatasetConfig, ModelConfig,
+                                   ParallelConfig, SamplerConfig,
+                                   TrainConfig)
+    from legion_tpu.train.partitioned_driver import run_partitioned_training
+    part = partition_graph(small_graph, 4, mode="hash")
+    data = _dc.replace(small_graph, partition=part) if _dc.is_dataclass(
+        small_graph) else small_graph._replace(partition=part)
+    cfg = Config(
+        dataset=DatasetConfig(num_classes=small_graph.num_classes),
+        sampler=SamplerConfig(fanouts=(4, 3), batch_size=32,
+                              eval_batch_size=64),
+        model=ModelConfig(arch="sage", hidden_dim=16, num_layers=2,
+                          dropout=0.0),
+        train=TrainConfig(learning_rate=0.01, seed=0, epochs=1),
+        parallel=ParallelConfig(num_devices=4))
+    logs = []
+    out = run_partitioned_training(cfg, data, log=logs.append)
+    assert any("precomputed 4-way partition" in l for l in logs), logs
+    assert np.isfinite(out["history"][0]["loss"])
