@@ -94,9 +94,10 @@ class StripedCachedTrainer:
                                  fanouts, self.caps, dedup_last=True)
             plan = StripedFeatureCache.plan_ids(hot_ids, batch.frontier,
                                                 miss_cap)
+            edges = sum(b.num_edges() for b in batch.blocks)
             packed = jnp.concatenate([
                 jnp.stack([plan.num_hit, plan.num_miss, plan.num_valid,
-                           plan.overflow()]),
+                           plan.overflow(), edges.astype(jnp.int32)]),
                 plan.miss_ids])
             # leading per-chip axis so the pytrees stay sharded between
             # the two programs (stripped back off in train_from)
@@ -168,11 +169,12 @@ class StripedCachedTrainer:
     # -- host staging -------------------------------------------------------
 
     def _stage(self, packed: np.ndarray):
-        """packed: (n, 4+miss_cap). Returns (stats (n,4), staged device
+        """packed: (n, 5+miss_cap). Returns (stats (n,5) =
+        [hit, miss, valid, overflow, edges] per chip, staged device
         array (n, miss_cap, D) sharded per chip)."""
         n = self.n_shards
-        stats = packed[:, :4]
-        ids = packed[:, 4:].reshape(-1)            # (n*miss_cap,)
+        stats = packed[:, :5]
+        ids = packed[:, 5:].reshape(-1)            # (n*miss_cap,)
         rows = self.host_stage(ids)                # (n*miss_cap, D)
         staged = rows.reshape(n, self.cache.miss_cap, -1)
         return stats, jax.device_put(staged, self._shard)
@@ -198,7 +200,7 @@ class StripedCachedTrainer:
         t0 = time.perf_counter()
         inflight = []
         losses = []
-        hits = misses = valid = overflow = 0
+        hits = misses = valid = overflow = edges = 0
         host_bytes = 0
         itemsize = np.dtype(self.cache.np_dtype()).itemsize
         dim = self.cache.rows.shape[1]
@@ -224,6 +226,7 @@ class StripedCachedTrainer:
             s = stats.sum(axis=0)
             hits += int(s[0]); misses += int(s[1])
             valid += int(s[2]); overflow += int(s[3])
+            edges += int(s[4])
             host_bytes += int(np.minimum(stats[:, 1],
                                          self.cache.miss_cap).sum()
                               ) * dim * itemsize
@@ -238,6 +241,8 @@ class StripedCachedTrainer:
             "cache_hit_rate": hits / max(valid, 1),
             "host_gb": host_bytes / 2 ** 30,
             "staging_overflow": overflow,
+            "edges": edges,
+            "edges_per_s": edges / max(dt, 1e-9),
         }
 
     def eval_epoch(self, params, seeds: np.ndarray, counts: np.ndarray,

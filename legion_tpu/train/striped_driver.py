@@ -204,7 +204,8 @@ def run_striped_training(cfg: Config, data: GraphData, mesh=None,
         history.append(r)
         log(f"Epoch:{epoch}, Cost:{r['seconds']:.3f} s, "
             f"Loss:{r['loss']:.4f}, hit:{r['cache_hit_rate']:.3f}, "
-            f"host_gb:{r['host_gb']:.3f}, Val Acc: {r['valid']:.4f}"
+            f"host_gb:{r['host_gb']:.3f}, "
+            f"edges/s:{r['edges_per_s']:.3e}, Val Acc: {r['valid']:.4f}"
             + (f" [STAGING OVERFLOW {r['staging_overflow']} rows]"
                if r.get("staging_overflow") else ""))
         if cfg.train.checkpoint_dir:

@@ -125,7 +125,7 @@ def test_striped_group_size_invariance(small_graph, groups):
     Feature matrices are bit-identical (see combine test); losses may
     differ only by psum reduction order across mesh factorizations."""
     g1, g2 = groups
-    losses = []
+    losses, edge_counts = [], []
     for g in (g1, g2):
         mesh = make_mesh(4, cache_group_size=g)
         cfg, caps, graph, feats, fc, model, params, tr = _mk_trainer(
@@ -139,7 +139,11 @@ def test_striped_group_size_invariance(small_graph, groups):
             epoch=jnp.ones((), jnp.int32)), seeds, labels)
         ls.append(r2["loss"])
         losses.append(ls)
+        edge_counts.append(r["edges"])
         assert 0.0 < r["cache_hit_rate"] < 1.0
+        # edge accounting: same keys => same draws regardless of striping
+        assert r["edges"] > 0 and r["edges_per_s"] > 0
+    assert edge_counts[0] == edge_counts[1]
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
 
 

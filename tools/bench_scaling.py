@@ -77,8 +77,13 @@ def main():
     from legion_tpu.parallel.multihost import (
         AXIS, make_partitioned_train_step)
 
+    from legion_tpu.cache.feature_cache import FeatureCache
+    from legion_tpu.cache.striped import StripedFeatureCache
+    from legion_tpu.cache.striped_pipeline import StripedCachedTrainer
+
     ndev = len(jax.devices())
-    results, results_part = {}, {}
+    results, results_part, results_striped = {}, {}, {}
+    striped_hit = {}
     sizes = [k for k in (1, 2, 4, 8, 16) if k <= ndev]
     ids = np.asarray(data.train_ids)
     rng = np.random.default_rng(0)
@@ -130,6 +135,35 @@ def main():
         print(f"{k} chips partitioned: {e / dt:.3e} edges/s",
               file=sys.stderr, flush=True)
 
+        # ---- Kg-striped hot cache at the same size (whole mesh = one
+        # clique: each chip holds capacity/k hot rows, hits served by
+        # collective exchange, misses staged from host) ------------------
+        smesh = make_mesh(k, cache_group_size=k)
+        feats_np = np.asarray(data.features)
+        deg_order = np.argsort(
+            -np.diff(np.asarray(data.indptr))).astype(np.int32)
+        capacity = feats_np.shape[0] // 4
+        scache = StripedFeatureCache.build(feats_np, deg_order, capacity,
+                                           miss_cap=caps[-1], mesh=smesh)
+        fc = FeatureCache.build(feats_np, deg_order, capacity,
+                                miss_cap=caps[-1])
+        tr = StripedCachedTrainer(cfg, model, caps, graph, scache, smesh,
+                                  host_stage=fc.stage)
+        sstate = create_train_state(
+            jax.tree_util.tree_map(jnp.copy, params), 0.003, 0)
+        seeds_ep = np.stack([
+            rng.permutation(ids)[:total].astype(np.int32)
+            for _ in range(reps)])
+        labels_ep = np.asarray(data.labels)[seeds_ep].astype(np.int32)
+        # warmup epoch compiles the two shard_mapped programs
+        r = tr.run_epoch(sstate, seeds_ep[:2], labels_ep[:2])
+        r = tr.run_epoch(r["state"], seeds_ep, labels_ep)
+        results_striped[k] = r["edges_per_s"]
+        striped_hit[k] = r["cache_hit_rate"]
+        print(f"{k} chips striped-cache (Kg={k}): "
+              f"{r['edges_per_s']:.3e} edges/s hit={r['cache_hit_rate']:.3f}",
+              file=sys.stderr, flush=True)
+
     base = results[sizes[0]]
     effs = {k: results[k] / (base * k / sizes[0]) for k in sizes}
     ratio = {k: results_part[k] / results[k] for k in sizes}
@@ -141,6 +175,10 @@ def main():
                                  for k, v in results_part.items()},
         "partitioned_vs_dp": {str(k): round(v, 3)
                               for k, v in ratio.items()},
+        "striped_per_size": {str(k): round(v, 1)
+                             for k, v in results_striped.items()},
+        "striped_hit_rate": {str(k): round(v, 3)
+                             for k, v in striped_hit.items()},
         "backend": jax.default_backend(),
     }))
 
