@@ -74,6 +74,31 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def shared_code_hash():
+    """Content hash of every module on the baseline variant's code path.
+
+    The baseline memo must invalidate itself when shared code changes
+    (previously a manual delete documented in CLAUDE.md — a footgun:
+    a stale baseline silently skews vs_baseline)."""
+    import hashlib
+    root = os.path.dirname(os.path.abspath(__file__))
+    shared = [
+        "legion_tpu/sampling/sampler.py",
+        "legion_tpu/sampling/block.py",
+        "legion_tpu/train/loop.py",
+        "legion_tpu/models/sage.py",
+        "legion_tpu/ops/segment.py",
+        "legion_tpu/ops/identity_agg_pallas.py",
+        "legion_tpu/ops/select_pallas.py",
+        "legion_tpu/cache/hotness.py",
+    ]
+    h = hashlib.sha256()
+    for rel in shared:
+        with open(os.path.join(root, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
+
+
 def load_or_gen():
     t0 = time.time()
     cache = os.path.join(CACHE_DIR, f"synth_{NODES}_{DEG}")
@@ -210,7 +235,8 @@ def main():
     memo = os.path.join(
         CACHE_DIR, f"baseline_{NODES}_{DEG}_{BATCH}_{DTYPE}_s{SLACK}"
         + ("" if PRNG == "rbg" else f"_{PRNG}")
-        + (f"_n{STEPS}" if STEPS != 20 else "") + ".json")
+        + (f"_n{STEPS}" if STEPS != 20 else "")
+        + f"_h{shared_code_hash()}" + ".json")
     if os.path.exists(memo):
         eps_coo = json.load(open(memo))["edges_per_s"]
         log(f"[coo_segment] baseline from cache: {eps_coo:.3e} edges/s")

@@ -36,7 +36,17 @@ class CachePlanResult:
 def solve_cost_model(node_hot: np.ndarray, edge_hot: np.ndarray,
                      degrees: np.ndarray, budget_bytes: int,
                      feat_row_bytes: int, group_size: int = 1,
-                     granularity: float = 0.01) -> CachePlanResult:
+                     granularity: float = 0.01,
+                     feat_cacheable: bool = True,
+                     topo_cacheable: bool = True) -> CachePlanResult:
+    """``feat_cacheable`` / ``topo_cacheable`` encode PLACEMENT: a cache
+    only saves host<->device bytes for data that would otherwise cross
+    the host boundary. When topology is already HBM-resident
+    (``topology_placement == "hbm"``) a topo cache saves nothing, so it
+    must get zero budget (alpha = 0) no matter how hot the edges are —
+    the reference never faces this because its topo cache always fronts
+    real PCIe reads (``src/GPUCache.cu:661-767`` maximizes *realized*
+    PCIe savings). Symmetric for HBM-resident features."""
     node_hot = np.asarray(node_hot, np.int64)
     edge_hot = np.asarray(edge_hot, np.int64)
     n = node_hot.shape[0]
@@ -62,8 +72,19 @@ def solve_cost_model(node_hot: np.ndarray, edge_hot: np.ndarray,
     topo_total_hot = max(topo_prefix[-1], 1.0)
 
     steps = max(int(round(1.0 / granularity)), 1)
+    # Placement-restricted sweep: uncacheable sides save zero bytes AND
+    # take zero budget (a single pinned alpha, not just zeroed savings —
+    # otherwise ties could still strand budget on the dead side).
+    if not topo_cacheable:
+        total_topo_bytes = 0.0
+        alphas = [0]
+    elif not feat_cacheable:
+        total_feat_bytes = 0.0
+        alphas = [steps]
+    else:
+        alphas = range(steps + 1)
     best = (-1.0, 0, 0, 0.0, 0.0, 0.0)
-    for s in range(steps + 1):
+    for s in alphas:
         alpha = s / steps
         topo_mem = alpha * total
         feat_mem = total - topo_mem

@@ -107,7 +107,6 @@ class TrainConfig:
     # (epoch-end saves always happen when checkpoint_dir is set) — the
     # crash-resilience knob for the longest runs.
     checkpoint_every_steps: int = 0
-    log_every_steps: int = 50
     # When set, epoch 0 is captured with the JAX profiler into this
     # directory (inspect with tools/profile_hlo.summarize or
     # tensorboard). The framework's tracing hook (SURVEY.md §5).
@@ -160,7 +159,7 @@ class Config:
     # typo like "learning_rat") raises rather than silently training
     # with defaults.
     _REMOVED_KEYS = {"drop_last", "payload_bytes", "data_axis",
-                     "donate_state"}
+                     "donate_state", "log_every_steps"}
 
     @staticmethod
     def from_json(s: str) -> "Config":

@@ -85,11 +85,14 @@ def run_striped_training(cfg: Config, data: GraphData, mesh=None,
     # ---- cost model + striped cache build ---------------------------------
     cache_dtype, row_bytes = cache_dtype_for(cfg.model.dtype,
                                              data.feature_dim)
+    # topology is HBM-resident here (DeviceGraph): zero topo savings,
+    # full budget to the striped feature cache (placement-aware model).
     cost = solve_cost_model(
         np.asarray(hot.node_hot), np.asarray(hot.edge_hot),
         data.degrees(), cfg.cache.budget_bytes,
         feat_row_bytes=row_bytes, group_size=kg,
-        granularity=cfg.cache.cost_model_granularity)
+        granularity=cfg.cache.cost_model_granularity,
+        topo_cacheable=False)
     log(f"cost model: alpha={cost.alpha:.2f} feat_cap={cost.feat_capacity}"
         f" (x{kg} chips/group) topo_cap={cost.topo_capacity}")
 
