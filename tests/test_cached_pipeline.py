@@ -139,3 +139,32 @@ def test_cached_training_bf16_cache(small_graph):
     assert np.isfinite(h["loss"])
     assert 0.0 < h["cache_hit_rate"] <= 1.0
     assert h["host_gb"] > 0.0
+
+
+def test_cached_eval_pipelined(small_graph):
+    """CachedTrainer eval dispatches sample+plan depth steps ahead and
+    accumulates metrics on device (one fetch per epoch, not 2/step)."""
+    cfg, caps, graph, cache, model, feats = _mk(small_graph, capacity=700)
+    params = _params(model, graph, caps, cfg, feats)
+    tr = CachedTrainer(cfg, model, caps, graph, cache)
+
+    ids = np.asarray(small_graph.valid_ids)
+    steps, b = 4, cfg.sampler.batch_size
+    seeds = np.full((steps, b), -1, np.int32)
+    counts = np.zeros((steps,), np.int32)
+    for t in range(steps):
+        chunk = ids[t * 32:(t + 1) * 32]
+        seeds[t, : len(chunk)] = chunk
+        counts[t] = len(chunk)
+    labels = np.where(seeds >= 0,
+                      np.asarray(small_graph.labels)[np.clip(seeds, 0, None)],
+                      -1).astype(np.int32)
+
+    events = []
+    orig_plan, orig_stage = tr.jit_sample_plan, tr.host_stage
+    tr.jit_sample_plan = lambda *a: (events.append("d"), orig_plan(*a))[1]
+    tr.host_stage = lambda p: (events.append("s"), orig_stage(p))[1]
+    acc = tr.eval_epoch(params, seeds, counts, labels)
+    assert 0.0 <= acc <= 1.0
+    assert events[:3] == ["d", "d", "s"], events
+    assert events.count("d") == steps and events.count("s") == steps

@@ -118,6 +118,32 @@ def test_hybrid_driver_eval_and_fetch_budget(small_graph):
         assert 0.0 <= h["topo_hot_fraction"] <= 1.0
 
 
+def test_hybrid_eval_fetch_budget(small_graph):
+    """Eval spends the same H-fetches-per-step budget as training (its
+    cross-batch overlap structure is shared with run_epoch): batch t+1's
+    hop-0 is computed inside batch t's finish program, so the host legs
+    overlap device eval — no extra round-trips."""
+    from legion_tpu.train.hybrid_driver import run_hybrid_training
+    res = run_hybrid_training(_hybrid_cfg(small_graph, epochs=1),
+                              small_graph, log=lambda s: None)
+    tr = res["trainer"]
+    ids = np.asarray(small_graph.valid_ids)[:48]
+    seeds = np.full((3, 64), -1, np.int32)
+    counts = np.zeros((3,), np.int32)
+    for t in range(3):
+        chunk = ids[t * 16:(t + 1) * 16]
+        seeds[t, : len(chunk)] = chunk
+        counts[t] = len(chunk)
+    labels = np.where(seeds >= 0,
+                      np.asarray(small_graph.labels)[np.clip(seeds, 0, None)],
+                      -1).astype(np.int32)
+    f0 = tr.stats["fetches"]
+    acc = tr.eval_epoch(res["state"].params, seeds, counts, labels)
+    assert 0.0 <= acc <= 1.0
+    hops = 2
+    assert tr.stats["fetches"] - f0 == hops * 3 + 1
+
+
 def test_hybrid_driver_kill_and_resume(small_graph, tmp_path):
     from legion_tpu.train.hybrid_driver import run_hybrid_training
     from legion_tpu.train.train_state import latest_checkpoint

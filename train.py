@@ -100,14 +100,39 @@ def main():
                     else DatasetConfig())
             if not args.data_dir:
                 ap.error("--data-dir (or --synthetic) required")
-            data = load_dataset(args.data_dir)
+            # --partitioned honors a precomputed k-way partition file in
+            # the dataset dir (the reference's XtraPulp partition_<k>_bn,
+            # src/GPUGraphStore.cu:324-339)
+            data = load_dataset(
+                args.data_dir,
+                partition_count=(args.devices if args.partitioned
+                                 and args.devices > 1 else None))
+            # Registry metadata vs meta.json must agree — a mismatch
+            # means the wrong directory (or a bad conversion) and must
+            # fail loudly, not train on the wrong graph (the reference
+            # trusts meta_config blindly, ReadMetaFIle
+            # src/GPUGraphStore.cu:190-252).
+            for field, got in (("num_nodes", data.num_nodes),
+                               ("num_edges", data.num_edges),
+                               ("feature_dim", data.feature_dim)):
+                want = getattr(dcfg, field)
+                if want and want != got:
+                    ap.error(
+                        f"--dataset {args.dataset} registry expects "
+                        f"{field}={want} but {args.data_dir}/meta.json "
+                        f"has {got}: wrong directory or bad conversion")
             dcfg = DatasetConfig(
                 name=dcfg.name, path=args.data_dir,
                 num_nodes=data.num_nodes, num_edges=data.num_edges,
                 feature_dim=data.feature_dim,
                 num_classes=dcfg.num_classes or data.num_classes,
                 feature_placement=("host" if args.cache_budget_gb > 0
-                                   else args.features))
+                                   else args.features),
+                # registry placement is authoritative for uk-scale codes
+                # (UKS/UKL/CL declare host topology); --topology host can
+                # force it for any dataset
+                topology_placement=("host" if args.topology == "host"
+                                    else dcfg.topology_placement))
         cfg = Config(
             dataset=dcfg,
             sampler=SamplerConfig(fanouts=fanouts,
@@ -129,22 +154,58 @@ def main():
                  or cfg.dataset.topology_placement == "host")
     multi = cfg.parallel.num_devices != 1
     print(cfg.to_json())
+
+    # No silently-ignored flags (the reference's config-that-lies defect,
+    # --nbrs_num ignored at src/Server.cu:68-69, deliberately NOT
+    # reproduced): every flag a chosen driver cannot honor warns loudly.
+    def warn(msg):
+        print(f"WARNING: {msg}", file=sys.stderr, flush=True)
+
     if getattr(args, "partitioned", False):
+        if cfg.cache.enabled:
+            warn("--partitioned ignores --cache-budget-gb/--cache-group "
+                 "(the partitioned driver shards features per host; no "
+                 "hotness cache)")
+        if topo_host:
+            warn("--partitioned ignores --topology host (each host holds "
+                 "its own partition's CSR in HBM)")
         from legion_tpu.train.partitioned_driver import run_partitioned_training
         run_partitioned_training(cfg, data)
+    elif topo_host and multi:
+        if not cfg.cache.enabled:
+            warn("--topology host without --cache-budget-gb: zero hot "
+                 "cache, every hop/feature is host-served")
+        from legion_tpu.train.striped_hybrid_driver import (
+            run_striped_hybrid_training)
+        run_striped_hybrid_training(cfg, data)
     elif topo_host:
+        if cfg.cache.group_size > 1:
+            warn("--cache-group > 1 needs --devices > 1; running "
+                 "single-chip with an unstriped cache")
+        if not cfg.cache.enabled:
+            warn("--topology host without --cache-budget-gb: zero hot "
+                 "cache, every hop/feature is host-served")
         from legion_tpu.train.hybrid_driver import run_hybrid_training
         run_hybrid_training(cfg, data)
     elif cfg.cache.enabled and multi:
         from legion_tpu.train.striped_driver import run_striped_training
         run_striped_training(cfg, data)
     elif cfg.cache.enabled:
+        if cfg.cache.group_size > 1:
+            warn("--cache-group > 1 needs --devices > 1; running "
+                 "single-chip with an unstriped cache")
         from legion_tpu.train.cached_driver import run_cached_training
         run_cached_training(cfg, data)
     elif multi:
+        if cfg.cache.group_size > 1:
+            warn("--cache-group is meaningless without --cache-budget-gb "
+                 "(no cache to stripe)")
         from legion_tpu.parallel.trainer import MeshTrainer
         MeshTrainer(cfg, data).fit()
     else:
+        if cfg.cache.group_size > 1:
+            warn("--cache-group is meaningless without --cache-budget-gb "
+                 "(no cache to stripe)")
         from legion_tpu.train.loop import Trainer
         Trainer(cfg, data).fit()
 
