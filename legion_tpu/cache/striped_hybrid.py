@@ -77,7 +77,7 @@ class StripedHybridTrainer:
         self.is_lp = cfg.model.arch == "lp_sage"
         self._SampledBatch = SampledBatch
         self.stats = {"hot": 0, "cold": 0, "host_topo_bytes": 0,
-                      "fetches": 0}
+                      "fetches": 0, "edges": 0}
 
         caps = self.caps
         fanouts = self.fanouts
@@ -103,13 +103,15 @@ class StripedHybridTrainer:
             return StripedTopoCache.sample_hot(hot_t, sp, si, hk,
                                                frontier, fanout)
 
-        def pack_hop(frontier, hit):
-            """[n_hot | miss ids (-1 where hot/pad)] — one fetch serves
-            the host sampler AND the hot/cold metering."""
+        def pack_hop(frontier, hit, edges):
+            """[n_hot, prev-block edges | miss ids (-1 where hot/pad)] —
+            one fetch serves the host sampler AND the hot/cold/edge
+            metering."""
             miss = jnp.where(jnp.logical_not(hit) & (frontier >= 0),
                              frontier, -1)
             return jnp.concatenate(
-                [jnp.sum(hit.astype(jnp.int32))[None], miss])
+                [jnp.sum(hit.astype(jnp.int32))[None],
+                 jnp.asarray(edges, jnp.int32)[None], miss])
 
         def start_logic(hot_t, sp, si, key, seeds, num_seeds):
             frontier = jnp.full((caps[0],), -1, jnp.int32).at[
@@ -117,7 +119,7 @@ class StripedHybridTrainer:
             nbrs_hot, hit = hot_hop(hot_t, sp, si, key, 0, frontier,
                                     fanouts[0])
             return (frontier, num_seeds.astype(jnp.int32), nbrs_hot, hit,
-                    pack_hop(frontier, hit))
+                    pack_hop(frontier, hit, 0))
 
         lift = lambda t: jax.tree.map(lambda a: a[None], t)  # noqa: E731
         drop = lambda t: jax.tree.map(lambda a: a[0], t)     # noqa: E731
@@ -136,7 +138,7 @@ class StripedHybridTrainer:
                 nh, h2 = hot_hop(hot_t, sp, si, key, k, frontier,
                                  fanouts[k])
                 return lift((frontier, num, blk, nh, h2,
-                             pack_hop(frontier, h2)))
+                             pack_hop(frontier, h2, blk.num_edges())))
             return f
 
         def j_finish(hot_t, sp, si, feat_hot, key_next, seeds_next,
@@ -149,7 +151,7 @@ class StripedHybridTrainer:
             plan = FeatureCache.plan_ids(feat_hot, frontier, miss_cap)
             packed_feat = jnp.concatenate([
                 jnp.stack([plan.num_hit, plan.num_miss, plan.num_valid,
-                           plan.overflow()]),
+                           plan.overflow(), blk.num_edges()]),
                 plan.miss_ids])
             nxt = start_logic(hot_t, sp, si, key_next, seeds_next[0],
                               num_next[0])
@@ -234,18 +236,19 @@ class StripedHybridTrainer:
         return np.asarray(packed)
 
     def _cold(self, miss_pack: np.ndarray, fanout: int, seed: int):
-        """miss_pack: (n, 1 + M) per-chip [n_hot | miss ids]. Samples all
-        chips' cold rows in one threaded C++ call; returns a sharded
-        (n, M, fanout) device array."""
+        """miss_pack: (n, 2 + M) per-chip [n_hot, prev-block edges |
+        miss ids]. Samples all chips' cold rows in one threaded C++
+        call; returns a sharded (n, M, fanout) device array."""
         from legion_tpu import runtime
         n = self.n_shards
-        miss = np.ascontiguousarray(miss_pack[:, 1:]).reshape(-1)
+        miss = np.ascontiguousarray(miss_pack[:, 2:]).reshape(-1)
         cold = runtime.sample_neighbors(self.host_indptr,
                                         self.host_indices, miss, fanout,
                                         seed=seed)
         n_cold = int((miss >= 0).sum())
         self.stats["hot"] += int(miss_pack[:, 0].sum())
         self.stats["cold"] += n_cold
+        self.stats["edges"] += int(miss_pack[:, 1].sum())
         self.stats["host_topo_bytes"] += n_cold * fanout * 4
         return self._placed(cold.reshape(n, -1, fanout))
 
@@ -273,11 +276,11 @@ class StripedHybridTrainer:
             self.topo.sub_indices, self.fcache.hot_ids, key_next,
             seeds_next, num_next, frontier, num, nbrs_hot, hit, cold)
         blocks.append(blk)
-        fused = self._fetch(packed)                      # (n, 4+mc+1+c0)
+        fused = self._fetch(packed)                      # (n, 5+mc+2+c0)
         mc = self.fcache.miss_cap
-        feat_stats = fused[:, :4]
-        miss_ids = np.ascontiguousarray(fused[:, 4:4 + mc]).reshape(-1)
-        next_pack = fused[:, 4 + mc:]
+        feat_stats = fused[:, :5]   # hit, miss, valid, overflow, edges
+        miss_ids = np.ascontiguousarray(fused[:, 5:5 + mc]).reshape(-1)
+        next_pack = fused[:, 5 + mc:]
         staged = self._placed(
             np.asarray(self.host_stage(miss_ids)).reshape(n, mc, -1))
         return blocks, frontier, num, plan, feat_stats, staged, \
@@ -303,7 +306,7 @@ class StripedHybridTrainer:
         t0 = time.perf_counter()
         stats0 = dict(self.stats)
         losses = []
-        feat_stats = np.zeros(4, np.int64)
+        feat_stats = np.zeros(5, np.int64)
         host_feat_bytes = 0
         itemsize = np.dtype(self.fcache.np_dtype()).itemsize
         dim = self.fcache.rows.shape[1]
@@ -337,6 +340,10 @@ class StripedHybridTrainer:
             maybe_checkpoint_step(self.cfg.train, state, i)
 
         dt = time.perf_counter() - t0
+        # total sampled edges = last-hop blocks (feat pack col 4) +
+        # earlier-hop blocks (hop pack col 1, accumulated in _cold)
+        edges = int(feat_stats[4]) + (self.stats["edges"]
+                                      - stats0["edges"])
         return {
             "state": state, "steps": steps, "seconds": dt,
             "loss": float(jax.device_get(losses[-1])) if losses else
@@ -344,6 +351,8 @@ class StripedHybridTrainer:
             "feat_hit_rate": float(feat_stats[0]) / max(float(
                 feat_stats[2]), 1.0),
             "staging_overflow": int(feat_stats[3]),
+            "edges": edges,
+            "edges_per_s": edges / max(dt, 1e-9),
             "host_feat_gb": host_feat_bytes / 2 ** 30,
             "host_topo_gb": (self.stats["host_topo_bytes"]
                              - stats0["host_topo_bytes"]) / 2 ** 30,

@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Rank formulations of the layer-1 backward scatter-add (VERDICT r3
+item 4): the transpose of `h_t[nbr_pos]` — accumulate (D, F) gradient
+slots into the (S, C) hop-1 activation grad — is the largest remaining
+addressable step cost (2.8 ms at bench shapes, xprof).
+
+Variants:
+  v0_scatter        XLA scatter-add from the flat (D*F, C) rows (what
+                    the gather transpose emits today)
+  v1_sorted_scatter sort edges by target first, scatter with
+                    indices_are_sorted=True
+  v2_cumsum         sort -> gather grad rows in sorted order -> cumsum
+                    -> boundary differences (no scatter at all)
+  v3_onehot_tiles   sort -> per-512-tile one-hot MXU contraction with a
+                    dense local window + residual scatter for rows
+                    whose segment falls outside the tile window
+
+Shapes mirror bench.py: D=8000 dst, F=25 fanout, S=124672 targets,
+C=47 classes. All variants are checked against the numpy oracle first.
+Run on the real chip; CPU runs use interpret-free XLA everywhere.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+D = int(os.environ.get("BS_D", 8000))
+F = int(os.environ.get("BS_F", 25))
+S = int(os.environ.get("BS_S", 124672))
+C = int(os.environ.get("BS_C", 47))
+DTYPE = jnp.bfloat16
+
+
+def sync(x):
+    np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0])
+
+
+def timeit(fn, reps=20):
+    out = fn()
+    sync(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        sync(out)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best * 1e3
+
+
+def main():
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..",
+            ".bench_cache", "jaxcache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+    rng = np.random.default_rng(0)
+    # positions distributed like the real block: winners cover [0, S),
+    # duplicates Zipf-concentrated on low ids (hot nodes)
+    pos = np.minimum((rng.zipf(1.8, (D, F)) - 1) * 97 % S, S - 1)
+    pos = pos.astype(np.int32)
+    mask = rng.random((D, F)) > 0.1
+    g = rng.standard_normal((D, C)).astype(np.float32)  # d_out rows
+    cnt = np.maximum(mask.sum(1), 1).astype(np.float32)
+
+    gj = jnp.asarray(g, DTYPE)
+    pj = jnp.asarray(pos)
+    mj = jnp.asarray(mask)
+    cj = jnp.asarray(cnt)
+
+    # oracle
+    ge = (g / cnt[:, None])[:, None, :] * mask[:, :, None]   # (D, F, C)
+    want = np.zeros((S, C), np.float32)
+    np.add.at(want, pos.reshape(-1), ge.reshape(-1, C))
+
+    E = D * F
+
+    def expand(g, cnt, mask):
+        rows = (g / cnt[:, None]).astype(DTYPE)
+        rows = jnp.repeat(rows, F, axis=0)                   # (E, C)
+        return rows * mask.reshape(-1, 1).astype(DTYPE)
+
+    def v0_scatter(g, pos, mask, cnt):
+        rows = expand(g, cnt, mask)
+        out = jnp.zeros((S, C), jnp.float32)
+        return out.at[pos.reshape(-1)].add(
+            rows.astype(jnp.float32)).astype(DTYPE)
+
+    def v1_sorted(g, pos, mask, cnt):
+        rows = expand(g, cnt, mask)
+        key = jnp.where(mask.reshape(-1), pos.reshape(-1), S)
+        skey, eidx = jax.lax.sort(
+            [key, jnp.arange(E, dtype=jnp.int32)], num_keys=1)
+        srows = jnp.take(rows, eidx, axis=0)
+        out = jnp.zeros((S, C), jnp.float32)
+        return out.at[skey].add(srows.astype(jnp.float32), mode="drop",
+                                indices_are_sorted=True).astype(DTYPE)
+
+    def v2_cumsum(g, pos, mask, cnt):
+        key = jnp.where(mask.reshape(-1), pos.reshape(-1), S)
+        skey, eidx = jax.lax.sort(
+            [key, jnp.arange(E, dtype=jnp.int32)], num_keys=1)
+        srows = jnp.take(expand(g, cnt, mask), eidx, axis=0)
+        csum = jnp.cumsum(srows.astype(jnp.float32), axis=0)  # (E, C)
+        # hi[s] = 1 + last sorted index of segment s (0 if empty, fixed
+        # to the running max so lo=hi for gap segments): one scalar
+        # scatter of the per-segment last positions + a cummax — no
+        # searchsorted (its scan lowering is 10x+ slower on TPU)
+        iota = jnp.arange(E, dtype=jnp.int32)
+        last = jnp.concatenate([skey[:-1] != skey[1:],
+                                jnp.ones((1,), bool)])
+        hi = jnp.zeros((S,), jnp.int32).at[
+            jnp.where(last, skey, S)].set(iota + 1, mode="drop")
+        hi = jax.lax.cummax(hi)
+        lo = jnp.concatenate([jnp.zeros((1,), jnp.int32), hi[:-1]])
+        padded = jnp.concatenate(
+            [jnp.zeros((1, C), jnp.float32), csum])
+        return (jnp.take(padded, hi, axis=0)
+                - jnp.take(padded, lo, axis=0)).astype(DTYPE)
+
+    variants = [("v0_scatter", v0_scatter), ("v1_sorted", v1_sorted),
+                ("v2_cumsum", v2_cumsum)]
+    ref = None
+    for name, fn in variants:
+        jf = jax.jit(fn)
+        out = np.asarray(jf(gj, pj, mj, cj)).astype(np.float32)
+        if ref is None:
+            ref = out
+            # v0 vs f64 oracle: absolute tolerance scales with the
+            # bf16-input rounding noise accumulated on the hottest row
+            dup = np.bincount(pos.reshape(-1), minlength=S).max()
+            atol = max(0.05, 0.02 * np.sqrt(dup))
+            ok = np.allclose(out, want, rtol=5e-2, atol=atol)
+        else:
+            # later variants: same math, different order — must match v0
+            ok = np.allclose(out, ref, rtol=2e-2, atol=0.1)
+        ms = timeit(lambda: jf(gj, pj, mj, cj))
+        print(f"{name:16s} {'OK ' if ok else 'FAIL'} {ms:7.3f} ms",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
