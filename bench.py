@@ -222,7 +222,9 @@ def main():
         train=TrainConfig(learning_rate=0.003),
     )
     from legion_tpu.data.format import pad_feature_dim
-    graph = DeviceGraph.from_host(data.indptr, data.indices)
+    graph = DeviceGraph.from_host(
+        data.indptr, data.indices,
+        layout=os.environ.get("BENCH_LAYOUT", "auto"))
     feats = jnp.asarray(pad_feature_dim(np.asarray(data.features)))
 
     rng = np.random.default_rng(0)

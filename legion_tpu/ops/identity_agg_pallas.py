@@ -174,14 +174,7 @@ def _masked_agg_rows_fwd(rows, nbr_mask, norm, interpret):
 def _masked_agg_rows_bwd(norm, interpret, nbr_mask, g):
     import numpy as np
     p, f = nbr_mask.shape
-    cnt = jnp.sum(nbr_mask, axis=1, keepdims=True).astype(g.dtype)
-    denom = jnp.maximum(cnt, 1)
-    if norm == "mean":
-        scale = g / denom
-    elif norm == "sqrt":
-        scale = g * jax.lax.rsqrt(denom.astype(jnp.float32)).astype(g.dtype)
-    else:                                                  # sum
-        scale = g
+    scale = _bwd_scale(g, nbr_mask, norm)
     idx = (jax.lax.broadcasted_iota(jnp.int32, (p * f, 1), 0)
            // f).squeeze(-1)
     d_rows = jnp.take(scale, idx, axis=0) * nbr_mask.reshape(-1)[:, None
@@ -190,6 +183,18 @@ def _masked_agg_rows_bwd(norm, interpret, nbr_mask, g):
 
 
 _masked_agg_rows.defvjp(_masked_agg_rows_fwd, _masked_agg_rows_bwd)
+
+
+def _bwd_scale(g, nbr_mask, norm):
+    """Per-dst gradient rows of the masked norm-reduce: scale[d] is what
+    every valid edge of dst d contributes to its src row."""
+    cnt = jnp.sum(nbr_mask, axis=1, keepdims=True).astype(g.dtype)
+    denom = jnp.maximum(cnt, 1)
+    if norm == "mean":
+        return g / denom
+    if norm == "sqrt":
+        return g * jax.lax.rsqrt(denom.astype(jnp.float32)).astype(g.dtype)
+    return g                                                  # sum
 
 
 def gathered_mean_supported(h_t: jnp.ndarray, nbr_mask: jnp.ndarray) -> bool:
@@ -210,7 +215,10 @@ def gathered_masked_mean(h_t: jnp.ndarray, nbr_pos: jnp.ndarray,
     norm: "mean" (SAGE), "sum" (GCN pre-norm), "sqrt".
 
     The row gather stays on XLA (its VJP is the unavoidable
-    scatter-add transpose); the masked reduce runs as the fused kernel,
+    scatter-add transpose — a sorted-scatter reformulation riding the
+    dedup's sort order was measured and LOSES: see
+    tools/bench_scatter_bwd.py and the negative-results notes in
+    docs/ARCHITECTURE.md); the masked reduce runs as the fused kernel,
     replacing take->(P,f,D) reshape->mask->reduce. Lane dim is padded
     to 128 BEFORE the gather so the pad fuses into the producing
     matmul rather than copying the gathered rows."""

@@ -60,6 +60,17 @@ class DeviceGraph:
     # scalar lookups cost ~3.8ms/step at bench shapes vs 0.56ms for the
     # 512B window fetch itself (xprof, fusion.304/305/301).
     meta: jnp.ndarray | None = None
+    # Direct-addressed layout ("lined"): node i's adjacency lives in
+    # 512B line i of ``indices`` viewed as (N, 128) — lanes 0..126 hold
+    # (up to) the first 127 neighbors, lane 127 the full degree. The
+    # line index IS the node id, so sampling a hop needs ONE descriptor
+    # per node, full stop (the aligned layout needs two: the packed
+    # meta row for (start, deg), then the line). Costs 512B/node of
+    # topology HBM regardless of degree — from_host("auto") picks it
+    # only under ``lined_max_bytes``. Nodes with degree > 127 take the
+    # per-edge tail path reading the original CSR (``tail_indices``).
+    lined: bool = struct.field(pytree_node=False, default=False)
+    tail_indices: jnp.ndarray | None = None
 
     @property
     def num_nodes(self) -> int:
@@ -67,10 +78,18 @@ class DeviceGraph:
 
     @classmethod
     def from_host(cls, indptr, indices, window_lines: int = 2,
-                  layout: str = "aligned",
-                  aligned_max_expand: float = 2.0) -> "DeviceGraph":
+                  layout: str = "auto",
+                  aligned_max_expand: float = 2.0,
+                  lined_max_bytes: int = 2 << 30) -> "DeviceGraph":
         """layout:
-        * "aligned" (default): adjacency runs re-packed so every run of
+        * "auto" (default): "lined" when the graph is small enough
+          (num_nodes * 512B <= lined_max_bytes), else "aligned".
+        * "lined": direct-addressed — 512B line per node id, degree
+          stored in-line (lane 127), so a sampled hop costs ONE
+          descriptor per node (no meta-row gather; measured -0.6 ms/step
+          at bench shapes). Topology HBM = num_nodes x 512B; nodes with
+          degree > 127 fall to a per-edge tail over the original CSR.
+        * "aligned": adjacency runs re-packed so every run of
           degree <= 64 starts at a 64-lane boundary and every larger run
           at a 128-lane (512B line) boundary — no run with deg <= 128
           straddles a line. Placement is two-region (all >64-degree runs
@@ -91,6 +110,34 @@ class DeviceGraph:
         indices = np.asarray(indices)
         e = int(indptr[-1])
         deg = np.diff(indptr).astype(np.int64)
+        n = deg.shape[0]
+        if layout == "auto":
+            layout = ("lined" if n * 512 <= lined_max_bytes
+                      and n * 128 < 2 ** 31 else "aligned")
+        if layout == "lined":
+            assert n * 128 < 2 ** 31, "lined layout needs N*128 < 2^31"
+            lcap = 127
+            lines = np.zeros((n, 128), np.int32)
+            inline = np.minimum(deg, lcap)
+            dst = (np.arange(n, dtype=np.int64) * 128).repeat(inline) \
+                + _concat_ranges(inline)
+            src = indptr[:-1].repeat(inline) + _concat_ranges(inline)
+            lines.reshape(-1)[dst] = indices[src]
+            lines[:, 127] = np.minimum(deg, np.iinfo(np.int32).max)
+            big = int((deg > lcap).sum())
+            tail = None
+            if big > 0:
+                epad = (e + 127) // 128 * 128
+                tail = np.zeros(epad, np.int32)
+                tail[:e] = indices[:e]
+            return cls(
+                indptr=jnp.asarray(indptr, dtype=jnp.int32),
+                indices=jnp.asarray(lines.reshape(-1)),
+                big_deg_count=big,
+                lined=True,
+                tail_indices=None if tail is None else jnp.asarray(tail),
+                meta=jnp.asarray(
+                    np.stack([indptr[:-1], deg], axis=1).astype(np.int32)))
         if layout == "aligned":
             size = np.where(deg == 0, 0,
                             np.where(deg <= 64, 64,
@@ -154,6 +201,15 @@ class DeviceGraph:
 WINDOW_LINES = 2
 
 
+def _concat_ranges(counts):
+    """[arange(c) for c in counts], concatenated (numpy, host-side)."""
+    import numpy as np
+    counts = np.asarray(counts, np.int64)
+    total = int(counts.sum())
+    starts = np.cumsum(counts) - counts
+    return np.arange(total, dtype=np.int64) - starts.repeat(counts)
+
+
 def _draws(key, deg, p, fanout):
     """Uniform-with-replacement draw offsets in [0, deg) per (node, slot);
     0 where deg == 0 (masked by the caller)."""
@@ -201,8 +257,20 @@ def sample_neighbors_per_edge(key: jax.Array, graph: DeviceGraph,
     ids = jnp.where(valid, frontier, 0)
     start, deg = graph.node_meta(ids)               # (P,), (P,)
     off = _draws(key, deg, p, fanout)
-    addr = start[:, None] + off
-    nbr = graph.indices[jnp.clip(addr, 0, graph.indices.shape[0] - 1)]
+    if graph.lined:
+        # lined layout: in-line adjacency for deg <= 127, original CSR
+        # (tail_indices) otherwise; draws are identical either way.
+        inline = ids[:, None] * 128 + jnp.minimum(off, 126)
+        nbr = graph.indices[jnp.clip(inline, 0,
+                                     graph.indices.shape[0] - 1)]
+        if graph.tail_indices is not None:
+            tl = start[:, None] + off
+            nbr_tl = graph.tail_indices[jnp.clip(
+                tl, 0, graph.tail_indices.shape[0] - 1)]
+            nbr = jnp.where((deg <= 127)[:, None], nbr, nbr_tl)
+    else:
+        addr = start[:, None] + off
+        nbr = graph.indices[jnp.clip(addr, 0, graph.indices.shape[0] - 1)]
     slot = jax.lax.broadcasted_iota(jnp.int32, (p, fanout), 1)
     ok = valid[:, None] & (slot < deg[:, None]) & (deg[:, None] > 0)
     return jnp.where(ok, nbr, -1)
@@ -234,6 +302,35 @@ def sample_neighbors(key: jax.Array, graph: DeviceGraph,
         return sample_neighbors_per_edge(key, graph, frontier, fanout)
 
     p = frontier.shape[0]
+    if graph.lined:
+        # ONE descriptor per node: the line index is the node id and the
+        # degree rides in lane 127, so there is no meta-row gather at
+        # all (the aligned layout's remaining second descriptor).
+        valid = frontier >= 0
+        ids = jnp.where(valid, frontier, 0)
+        win = jnp.take(graph.indices.reshape(-1, 128), ids, axis=0)
+        deg = win[:, 127]
+        draw = _draws(key, deg, p, fanout)
+        nbr = _select_lanes(win, jnp.minimum(draw, 126), graph.num_nodes)
+        tail_cap = min(p, (graph.big_deg_count + 7) // 8 * 8)
+        if tail_cap > 0:
+            t = valid & (deg > 127)
+            tpos = jnp.cumsum(t.astype(jnp.int32)) - 1
+            tidx = jnp.where(t, jnp.minimum(tpos, tail_cap - 1), tail_cap)
+            tids = jnp.zeros((tail_cap,), jnp.int32).at[tidx].set(
+                ids, mode="drop")
+            tstart = graph.meta[tids][:, 0]     # meta rows: tail only
+            tdraw = jnp.zeros((tail_cap, fanout), jnp.int32).at[tidx].set(
+                draw, mode="drop")
+            taddr = tstart[:, None] + tdraw
+            tnbr = graph.tail_indices[jnp.clip(
+                taddr, 0, graph.tail_indices.shape[0] - 1)]
+            back = jnp.take(tnbr, jnp.clip(tpos, 0, tail_cap - 1), axis=0)
+            nbr = jnp.where(t[:, None], back, nbr)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (p, fanout), 1)
+        ok = valid[:, None] & (slot < deg[:, None]) & (deg[:, None] > 0)
+        return jnp.where(ok, nbr, -1)
+
     aligned = graph.astart is not None
     lanes = 128 if aligned else WINDOW_LINES * 128
     valid = frontier >= 0
@@ -538,7 +635,8 @@ def sample_batch_scatter(key: jax.Array, graph: DeviceGraph,
 
 
 def gather_features(features: jnp.ndarray, frontier: jnp.ndarray,
-                    mask_invalid: bool = True) -> jnp.ndarray:
+                    mask_invalid: bool = True,
+                    out_dtype: jnp.dtype | None = None) -> jnp.ndarray:
     """Gather feature rows for a (padded) frontier from an HBM-resident
     table; padded slots read row 0 and (by default) are zeroed. The
     cached/host paths live in legion_tpu.cache.feature_cache.
@@ -547,9 +645,17 @@ def gather_features(features: jnp.ndarray, frontier: jnp.ndarray,
     the largest array in the step. Safe whenever every downstream
     consumer masks: all aggregators multiply by nbr_mask, and the
     loss/accuracy mask invalid seed rows, so the training/eval steps
-    qualify (see train.loop)."""
+    qualify (see train.loop).
+
+    out_dtype: emit gathered rows in this dtype. WARNING: measured as a
+    2.1 ms/step LOSS on the bench path (XLA does not fuse the convert
+    into its gather lowering — it becomes a full extra HBM pass; see
+    docs/ARCHITECTURE.md negative results). Kept for callers whose
+    consumers genuinely need a different dtype materialized once."""
     valid = frontier >= 0
     rows = features[jnp.where(valid, frontier, 0)]
+    if out_dtype is not None and rows.dtype != out_dtype:
+        rows = rows.astype(out_dtype)
     if mask_invalid:
-        rows = rows * valid[:, None].astype(features.dtype)
+        rows = rows * valid[:, None].astype(rows.dtype)
     return rows

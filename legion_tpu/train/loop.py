@@ -93,6 +93,11 @@ def make_step_fns(cfg: Config, model, caps,
     # mask_invalid=False: every consumer of the gathered rows masks
     # (aggregators by nbr_mask, loss/metrics by the seed mask), so the
     # zeroing pass over the largest array in the step is pure waste.
+    # NOTE: emitting bf16 from the gather (out_dtype) was measured and
+    # LOSES 2.1 ms/step at bench shapes — XLA does not fuse the convert
+    # into its gather lowering, so it becomes a full extra pass over the
+    # largest array in the step (A/B in docs/ARCHITECTURE.md negative
+    # results; the fused identity-agg kernel already casts in-kernel).
     fetch = feature_fetch or (lambda feats, frontier: gather_features(
         feats, frontier, mask_invalid=False))
     is_lp = cfg.model.arch == "lp_sage"

@@ -207,13 +207,16 @@ def test_line_layouts_match_per_edge(small_graph):
                                layout="windowed")
     ga = DeviceGraph.from_host(small_graph.indptr, small_graph.indices,
                                layout="aligned", aligned_max_expand=1e9)
+    gl = DeviceGraph.from_host(small_graph.indptr, small_graph.indices,
+                               layout="lined")
     assert ga.astart is not None and gw.astart is None
+    assert gl.lined and gl.indices.shape[0] == 128 * gl.num_nodes
     frontier = jnp.asarray(
         np.r_[np.arange(200), [-1, -1]].astype(np.int32))
     for k in range(3):
         ref = sample_neighbors_per_edge(jax.random.PRNGKey(k), gw,
                                         frontier, 7)
-        for g in (gw, ga):
+        for g in (gw, ga, gl):
             a = sample_neighbors(jax.random.PRNGKey(k), g, frontier, 7)
             assert (np.asarray(a) == np.asarray(ref)).all()
 
@@ -273,13 +276,40 @@ def test_line_tail_path_exercised():
     indices = rng.integers(0, n, size=indptr[-1]).astype(np.int32)
     frontier = jnp.asarray(np.r_[np.arange(5), rng.permutation(n)[:100],
                                  [-1]].astype(np.int32))
-    for layout in ("windowed", "aligned"):
+    for layout in ("windowed", "aligned", "lined"):
         g = DeviceGraph.from_host(indptr, indices, layout=layout)
         assert g.big_deg_count >= 5
+        if layout == "lined":
+            assert g.tail_indices is not None
         a = sample_neighbors(jax.random.PRNGKey(3), g, frontier, 9)
         b = sample_neighbors_per_edge(jax.random.PRNGKey(3), g,
                                       frontier, 9)
         assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_lined_auto_and_size_guard():
+    """from_host("auto") picks lined under the byte budget and falls
+    back to aligned/windowed beyond it; lined parity holds for a
+    zero-big-degree graph (tail_indices elided entirely)."""
+    from legion_tpu.sampling.sampler import sample_neighbors_per_edge
+    rng = np.random.default_rng(2)
+    n = 500
+    deg = rng.integers(0, 30, size=n)
+    indptr = np.zeros(n + 1, np.int64)
+    indptr[1:] = np.cumsum(deg)
+    indices = rng.integers(0, n, size=indptr[-1]).astype(np.int32)
+    g_auto = DeviceGraph.from_host(indptr, indices)          # auto
+    assert g_auto.lined and g_auto.tail_indices is None
+    g_cap = DeviceGraph.from_host(indptr, indices,
+                                  lined_max_bytes=n * 512 - 1)
+    assert not g_cap.lined
+    frontier = jnp.asarray(np.r_[np.arange(n), [-1]].astype(np.int32))
+    a = sample_neighbors(jax.random.PRNGKey(11), g_auto, frontier, 6)
+    b = sample_neighbors_per_edge(jax.random.PRNGKey(11), g_auto,
+                                  frontier, 6)
+    c = sample_neighbors(jax.random.PRNGKey(11), g_cap, frontier, 6)
+    assert (np.asarray(a) == np.asarray(b)).all()
+    assert (np.asarray(a) == np.asarray(c)).all()
 
 
 def test_select_lanes_large_ids():
