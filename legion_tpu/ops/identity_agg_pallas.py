@@ -33,7 +33,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_P = 128   # dst rows per grid step (MXU-sized)
+# dst rows per grid step. 64 beats 128/256 on-chip (228 vs 180/166 GB/s
+# standalone, tools/bench_agg_tile.py): smaller tiles pipeline the
+# row-DMA against the mask-build + MXU contraction at finer grain.
+TILE_P = 64
 
 
 def _kernel(x_hbm, mask_ref, out_ref, scratch, sems, *,
@@ -117,6 +120,11 @@ def identity_masked_mean_pallas(x: jnp.ndarray, nbr_mask: jnp.ndarray,
     """
     p, fanout = nbr_mask.shape
     d = x.shape[1]
+    # d MUST be a 128-lane multiple: Mosaic rejects HBM memref slices
+    # whose minor dim is not tile-aligned ("Slice shape along dimension
+    # 1 must be aligned to tiling (128), but is 47") — verified on-chip;
+    # interpret mode does not catch it. Callers pad the lane dim before
+    # the producing op (gathered_masked_mean pads h_t pre-gather).
     assert p % tile_p == 0 and d % 128 == 0
     assert norm in ("mean", "sqrt", "sum")
     tpf = tile_p * fanout
@@ -139,12 +147,6 @@ def identity_masked_mean_pallas(x: jnp.ndarray, nbr_mask: jnp.ndarray,
         ],
         interpret=interpret,
     )(x, nbr_mask)
-
-
-def _pad_lanes(a: jnp.ndarray) -> jnp.ndarray:
-    d = a.shape[1]
-    dpad = (d + 127) // 128 * 128
-    return a if d == dpad else jnp.pad(a, ((0, 0), (0, dpad - d)))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -219,10 +221,15 @@ def gathered_masked_mean(h_t: jnp.ndarray, nbr_pos: jnp.ndarray,
     dedup's sort order was measured and LOSES: see
     tools/bench_scatter_bwd.py and the negative-results notes in
     docs/ARCHITECTURE.md); the masked reduce runs as the fused kernel,
-    replacing take->(P,f,D) reshape->mask->reduce. Lane dim is padded
-    to 128 BEFORE the gather so the pad fuses into the producing
-    matmul rather than copying the gathered rows."""
+    replacing take->(P,f,D) reshape->mask->reduce. The lane dim is
+    padded to 128 before the gather: Mosaic rejects HBM slices with a
+    sub-128 minor dim, so an unpadded (E, 47) input cannot be DMA'd
+    (XLA may materialize the pad as its own pass — measured 0.17
+    ms/step — but there is no Mosaic-legal way around it)."""
     d = h_t.shape[1]
-    rows = jnp.take(_pad_lanes(h_t), nbr_pos.reshape(-1), axis=0)
+    dpad = (d + 127) // 128 * 128
+    if d != dpad:
+        h_t = jnp.pad(h_t, ((0, 0), (0, dpad - d)))
+    rows = jnp.take(h_t, nbr_pos.reshape(-1), axis=0)
     out = _masked_agg_rows(rows, nbr_mask, norm, interpret)
     return out[:, :d]

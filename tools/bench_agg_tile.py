@@ -56,7 +56,7 @@ def main():
     want = want / np.maximum(mask.sum(1), 1)[:, None]
     xj, mj = jnp.asarray(x), jnp.asarray(mask)
     gb = (P * F * D * 4) / 2**30
-    for tile_p in (128, 256, 512):
+    for tile_p in (64, 128, 256):
         if P % tile_p:
             continue
         fn = jax.jit(lambda a, m, t=tile_p: identity_masked_mean_pallas(

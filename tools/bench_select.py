@@ -34,7 +34,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-P, F, LANES = 142_080, 10, 256
+P = int(os.environ.get("BS_P", 142_080))
+F = int(os.environ.get("BS_F", 10))
+LANES = int(os.environ.get("BS_LANES", 256))
 MAXID = 2_449_029  # products-scale: needs >= 22 bits
 
 
@@ -126,6 +128,21 @@ def sel_mux128_bf16(win, off):
     return out
 
 
+def sel_where_sum(win, off):
+    """Pure-VPU: integer compare + select + sum-reduce over lanes — no
+    float one-hot, no MXU contraction; exact at any id width."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, win.shape[1]), 2)
+    return jnp.sum(jnp.where(lane == off[:, :, None], win[:, None, :], 0),
+                   axis=-1)
+
+
+def sel_where_max(win, off):
+    """Like where_sum but max-reduce (single nonzero, ids >= 0)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, win.shape[1]), 2)
+    return jnp.max(jnp.where(lane == off[:, :, None], win[:, None, :], 0),
+                   axis=-1)
+
+
 def sel_take(win, off):
     return jnp.take_along_axis(win, off, axis=1)
 
@@ -158,6 +175,8 @@ def main():
         ("int8x3", sel_int8x3),
         ("mux128+f32x2", sel_mux128_f32),
         ("mux128+bf16x3", sel_mux128_bf16),
+        ("where_sum (vpu)", sel_where_sum),
+        ("where_max (vpu)", sel_where_max),
         ("take_along_axis", sel_take),
         ("pallas t512", sel_pallas),
         ("pallas t256", sel_pallas_t256),
