@@ -259,11 +259,16 @@ def main():
     # production Pallas kernel on the chip and record pass/fail in the
     # bench artifact — CI only runs kernels in interpret mode, so this is
     # the round's only automatic Mosaic check. Compiles are cached.
+    kernels = []
     try:
         from tools.bench_kernels import run_gate
         gate = run_gate(quick=True, log=log)
         kernel_gate = ("pass" if not gate["failures"]
                        else "FAIL:" + ",".join(gate["failures"]))
+        # per-kernel ok list in the artifact so a future FAIL names the
+        # kernel (quick mode: ms is null = compile+oracle only, untimed)
+        kernels = [{"kernel": k["kernel"], "ok": k["ok"]}
+                   for k in gate["kernels"]]
     except Exception as e:  # never lose the headline number to the gate
         kernel_gate = f"ERROR:{type(e).__name__}:{e}"
         log(f"kernel gate errored: {e}")
@@ -274,6 +279,7 @@ def main():
         "unit": "edges/s",
         "vs_baseline": round(eps_fanout / eps_coo, 3),
         "kernel_gate": kernel_gate,
+        "kernels": kernels,
     }))
 
 

@@ -37,7 +37,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from legion_tpu.cache.feature_cache import CachePlan, FeatureCache
-from legion_tpu.parallel.feature_exchange import shard_rows, sharded_row_fetch
+from legion_tpu.parallel.feature_exchange import (
+    owner_cap, route_by_owner, shard_rows, sharded_row_fetch)
 
 
 class StripedFeatureCache(NamedTuple):
@@ -90,11 +91,43 @@ class StripedFeatureCache(NamedTuple):
 
     @staticmethod
     def plan_ids(hot_ids: jnp.ndarray, frontier: jnp.ndarray,
-                 miss_cap: int) -> CachePlan:
+                 miss_cap: int, k: int = 1) -> CachePlan:
         """Per-chip hit/miss classification. plan.slot is the hot RANK
-        (owner = rank % K, local slot = rank // K). Identical math to
-        the single-chip plan — reused directly."""
-        return FeatureCache.plan_ids(hot_ids, frontier, miss_cap)
+        (owner = rank % K, local slot = rank // K).
+
+        k > 1: hits whose owner chip would exceed the exact exchange's
+        per-owner cap are DEMOTED to misses, so they are host-staged
+        instead of returning zero rows — the striped path is correct
+        under ANY owner skew (staged rows equal cached rows value-for-
+        value: both are host_features[id] in the cache dtype). Demotions
+        show up as a lower hit rate / more host bytes, never as wrong
+        features. k == 1 is exactly the single-chip plan."""
+        plan = FeatureCache.plan_ids(hot_ids, frontier, miss_cap)
+        if k <= 1:
+            return plan
+        return StripedFeatureCache.demote_overflow(plan, frontier,
+                                                   miss_cap, k)
+
+    @staticmethod
+    def demote_overflow(plan: CachePlan, frontier: jnp.ndarray,
+                        miss_cap: int, k: int) -> CachePlan:
+        """Re-plan with over-cap hits turned into misses (see plan_ids).
+        ``plan.num_hit - result.num_hit`` is the demoted count."""
+        m = frontier.shape[0]
+        req = jnp.where(plan.hit, plan.slot, -1)
+        _, _, in_cap, _ = route_by_owner(req, k, owner_cap(m, k))
+        hit = plan.hit & in_cap
+        valid = frontier >= 0
+        miss = valid & jnp.logical_not(hit)
+        midx = jnp.cumsum(miss.astype(jnp.int32)) - 1
+        scatter = jnp.where(miss & (midx < miss_cap), midx, miss_cap)
+        miss_ids = jnp.full((miss_cap,), -1, jnp.int32).at[scatter].set(
+            jnp.where(miss, frontier, -1), mode="drop")
+        return CachePlan(
+            slot=plan.slot, hit=hit, miss_idx=midx, miss_ids=miss_ids,
+            num_miss=jnp.sum(miss.astype(jnp.int32)),
+            num_hit=jnp.sum(hit.astype(jnp.int32)),
+            num_valid=plan.num_valid)
 
     @staticmethod
     def combine_rows(rows_local: jnp.ndarray, plan: CachePlan,
@@ -216,32 +249,57 @@ class StripedTopoCache(NamedTuple):
         hit (M,) bool). Draw semantics match TopoCache.sample_hot
         (uniform with replacement, slot >= degree -> -1); on a 1-chip
         mesh the draws are bit-identical to it given the same key.
+
+        Exchange: requests routed to their owner chips by all_to_all
+        with a static per-owner cap (parallel.feature_exchange), draws
+        returned directly — ~owner_cap_slack x the requested bytes
+        instead of the K x psum_scatter volume of the v1 exchange. The
+        request's GLOBAL index rides along as payload so the owner
+        draws u[(requester, j)] from the same (K*M, fanout) grid as v1
+        — draws are bit-identical across exchange strategies AND group
+        sizes. Requests beyond the owner cap are DEMOTED to misses
+        (hit=False) and fall to the host sampler: correct under any
+        skew, visible as a lower hot fraction.
         """
         sp = sub_indptr_local[0]
         si = sub_indices_local[0]
         k = jax.lax.axis_size(axis)
         me = jax.lax.axis_index(axis)
         m = frontier.shape[0]
+        cap = owner_cap(m, k)
 
         hit, rank = StripedTopoCache.lookup(hot_ids, frontier)
         req = jnp.where(hit, rank, -1)
-        all_req = jax.lax.all_gather(req, axis).reshape(-1)   # (K*M,)
-        valid = all_req >= 0
-        mine = valid & (all_req % k == me)
-        row = jnp.where(mine, all_req // k, 0)
-        start = sp[row]
-        deg = jnp.where(mine, sp[row + 1] - start, 0)
+        gidx = me * m + jnp.arange(m, dtype=jnp.int32)   # v1 grid index
+        send, pos, in_cap, _, send_gidx = route_by_owner(
+            req, k, cap, payload=gidx)
+        recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=True)
+        recv_g = jax.lax.all_to_all(send_gidx, axis, 0, 0, tiled=True)
 
+        rvalid = (recv >= 0).reshape(-1)                 # (k*cap,)
+        row = jnp.where(rvalid, recv.reshape(-1) // k, 0)
+        start = sp[row]
+        deg = jnp.where(rvalid, sp[row + 1] - start, 0)
+
+        # same u grid as the v1 exchange: request (c, j) -> u[c*m + j]
         u = jax.random.uniform(key, (k * m, fanout), dtype=jnp.float32)
-        off = jnp.minimum((u * deg[:, None].astype(jnp.float32))
+        ur = jnp.take(u, jnp.clip(recv_g.reshape(-1), 0, k * m - 1),
+                      axis=0)                            # (k*cap, fanout)
+        off = jnp.minimum((ur * deg[:, None].astype(jnp.float32))
                           .astype(jnp.int32),
                           jnp.maximum(deg[:, None] - 1, 0))
         addr = jnp.clip(start[:, None] + off, 0, si.shape[0] - 1)
         nbr = si[addr]
-        slot = jax.lax.broadcasted_iota(jnp.int32, (k * m, fanout), 1)
-        ok = mine[:, None] & (slot < deg[:, None]) & (deg[:, None] > 0)
-        # psum of one-hot contributions reconstructs ids incl. -1
-        contrib = jnp.where(ok, nbr + 1, 0)
-        summed = jax.lax.psum_scatter(contrib, axis, scatter_dimension=0,
-                                      tiled=True)              # (M, fanout)
-        return summed - 1, hit
+        slot = jax.lax.broadcasted_iota(jnp.int32, (k * cap, fanout), 1)
+        ok = rvalid[:, None] & (slot < deg[:, None]) & (deg[:, None] > 0)
+        draws = jnp.where(ok, nbr, -1).reshape(k, cap, fanout)
+        resp = jax.lax.all_to_all(draws, axis, 0, 0, tiled=True)
+        flat = resp.reshape(k * cap, fanout)
+        safe_owner = jnp.where(req >= 0, req, 0) % k
+        out = jnp.take(flat,
+                       jnp.clip(safe_owner * cap
+                                + jnp.minimum(pos, cap - 1),
+                                0, k * cap - 1), axis=0)  # (M, fanout)
+        hit = hit & in_cap
+        out = jnp.where(hit[:, None], out, -1)
+        return out, hit

@@ -22,9 +22,10 @@ simultaneously (``src/Server.cu:116-133``) — recast TPU-native:
   host leg overlaps the device train step (cross-batch overlap, the
   two-stream sample/train overlap of ``src/Server.cu:310-316``).
 
-Bit-exactness contract (tested): on a 1x1 mesh this trainer reproduces
-the single-chip HybridTrainer exactly — same key schedule, same host
-sampler seeds, same loss sequence.
+Value-exactness contract (tested): on a 1x1 mesh this trainer matches
+the single-chip HybridTrainer — same key schedule, same host sampler
+seeds, same draw values; params agree to float rounding (see
+cache.striped_pipeline's matching note on the r4 exact exchange).
 """
 
 from __future__ import annotations
@@ -148,7 +149,11 @@ class StripedHybridTrainer:
             nbrs = jnp.where(hit[:, None], nbrs_hot, cold)
             frontier, num, blk = grow_frontier(frontier, num, nbrs,
                                                caps[H])
-            plan = FeatureCache.plan_ids(feat_hot, frontier, miss_cap)
+            # over-cap hits demoted to host-staged misses (exact-exchange
+            # contract, StripedFeatureCache.plan_ids)
+            plan = StripedFeatureCache.plan_ids(
+                feat_hot, frontier, miss_cap,
+                k=jax.lax.axis_size("cache"))
             packed_feat = jnp.concatenate([
                 jnp.stack([plan.num_hit, plan.num_miss, plan.num_valid,
                            plan.overflow(), blk.num_edges()]),
@@ -180,7 +185,9 @@ class StripedHybridTrainer:
             key = fold_shard(jax.random.fold_in(state.rng, state.step))
             _, dkey = jax.random.split(key)
             loss, grads = jax.value_and_grad(loss_fn)(state.params, dkey)
-            grads = jax.lax.pmean(grads, MESH_AXES)
+            # already psummed by the vma transpose (see train.loop);
+            # divide for the DDP mean — /1 on a 1x1 mesh (bit-match)
+            grads = jax.tree.map(lambda g: g / n, grads)
             loss = jax.lax.pmean(loss, MESH_AXES)
             state = state.apply_gradients(grads)
             return state, loss

@@ -19,11 +19,14 @@ Step structure (two shard_mapped XLA programs + one host exchange):
 with sample+plan for future steps dispatched ahead (PIPELINE_DEPTH
 analog) so host staging overlaps device compute.
 
-Bit-exactness contract (tested): on a 1x1 mesh this trainer reproduces
-the single-chip CachedTrainer exactly (same keys, same loss sequence);
-across group sizes (replicated K=1 vs striped K=2/4 with the same hot
-set) the loss sequence is bit-identical, because the striped exchange
-returns exactly the rows the local cache would have.
+Value-exactness contract (tested): on a 1x1 mesh this trainer matches
+the single-chip CachedTrainer (same keys, same feature values — params
+agree to float rounding; bit-for-bit held through r3 when the op
+sequences were identical, the r4 exact exchange re-orders ops); across
+group sizes (replicated K=1 vs striped K=2/4 with the same hot set)
+the losses match, because the striped exchange returns exactly the
+rows the local cache would have (over-cap hits are host-staged with
+identical values).
 """
 
 from __future__ import annotations
@@ -92,12 +95,21 @@ class StripedCachedTrainer:
             key = fold_shard(key)
             batch = sample_batch(key, graph, seeds, num_seeds[0], labels,
                                  fanouts, self.caps, dedup_last=True)
-            plan = StripedFeatureCache.plan_ids(hot_ids, batch.frontier,
+            base = StripedFeatureCache.plan_ids(hot_ids, batch.frontier,
                                                 miss_cap)
+            # hits beyond the exact exchange's per-owner cap are DEMOTED
+            # to host-staged misses (correct under any owner skew — see
+            # StripedFeatureCache.plan_ids); the demoted count is the
+            # exchange-pressure stat (persistent nonzero => raise
+            # owner_cap slack)
+            kx = jax.lax.axis_size("cache")
+            plan = (StripedFeatureCache.demote_overflow(
+                base, batch.frontier, miss_cap, kx) if kx > 1 else base)
+            xov = base.num_hit - plan.num_hit
             edges = sum(b.num_edges() for b in batch.blocks)
             packed = jnp.concatenate([
                 jnp.stack([plan.num_hit, plan.num_miss, plan.num_valid,
-                           plan.overflow(), edges.astype(jnp.int32)]),
+                           plan.overflow(), edges.astype(jnp.int32), xov]),
                 plan.miss_ids])
             # leading per-chip axis so the pytrees stay sharded between
             # the two programs (stripped back off in train_from)
@@ -125,9 +137,11 @@ class StripedCachedTrainer:
             key = fold_shard(jax.random.fold_in(state.rng, state.step))
             _, dkey = jax.random.split(key)
             loss, grads = jax.value_and_grad(loss_fn)(state.params, dkey)
-            # pmean over a size-1 mesh is x/1 — exact, so no guard needed
-            # (and shard_map's replication inference requires it)
-            grads = jax.lax.pmean(grads, MESH_AXES)
+            # grads arrive ALREADY psummed across shards (jax-0.9
+            # shard_map vma transpose — see train.loop.train_step);
+            # divide for the DDP mean instead of a second all-reduce.
+            # On a 1x1 mesh this is /1: bit-identical to CachedTrainer.
+            grads = jax.tree.map(lambda g: g / n, grads)
             loss = jax.lax.pmean(loss, MESH_AXES)
             state = state.apply_gradients(grads)
             return state, loss
@@ -169,12 +183,12 @@ class StripedCachedTrainer:
     # -- host staging -------------------------------------------------------
 
     def _stage(self, packed: np.ndarray):
-        """packed: (n, 5+miss_cap). Returns (stats (n,5) =
-        [hit, miss, valid, overflow, edges] per chip, staged device
-        array (n, miss_cap, D) sharded per chip)."""
+        """packed: (n, 6+miss_cap). Returns (stats (n,6) =
+        [hit, miss, valid, overflow, edges, exchange_overflow] per chip,
+        staged device array (n, miss_cap, D) sharded per chip)."""
         n = self.n_shards
-        stats = packed[:, :5]
-        ids = packed[:, 5:].reshape(-1)            # (n*miss_cap,)
+        stats = packed[:, :6]
+        ids = packed[:, 6:].reshape(-1)            # (n*miss_cap,)
         rows = self.host_stage(ids)                # (n*miss_cap, D)
         staged = rows.reshape(n, self.cache.miss_cap, -1)
         return stats, jax.device_put(staged, self._shard)
@@ -200,7 +214,7 @@ class StripedCachedTrainer:
         t0 = time.perf_counter()
         inflight = []
         losses = []
-        hits = misses = valid = overflow = edges = 0
+        hits = misses = valid = overflow = edges = xoverflow = 0
         host_bytes = 0
         itemsize = np.dtype(self.cache.np_dtype()).itemsize
         dim = self.cache.rows.shape[1]
@@ -226,7 +240,7 @@ class StripedCachedTrainer:
             s = stats.sum(axis=0)
             hits += int(s[0]); misses += int(s[1])
             valid += int(s[2]); overflow += int(s[3])
-            edges += int(s[4])
+            edges += int(s[4]); xoverflow += int(s[5])
             host_bytes += int(np.minimum(stats[:, 1],
                                          self.cache.miss_cap).sum()
                               ) * dim * itemsize
@@ -241,6 +255,7 @@ class StripedCachedTrainer:
             "cache_hit_rate": hits / max(valid, 1),
             "host_gb": host_bytes / 2 ** 30,
             "staging_overflow": overflow,
+            "exchange_overflow": xoverflow,
             "edges": edges,
             "edges_per_s": edges / max(dt, 1e-9),
         }

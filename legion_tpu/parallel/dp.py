@@ -20,7 +20,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from legion_tpu.config import Config
-from legion_tpu.parallel.feature_exchange import shard_rows, sharded_row_fetch
+from legion_tpu.parallel.feature_exchange import (
+    shard_rows, sharded_row_fetch_stats)
 from legion_tpu.train.loop import make_step_fns
 
 MESH_AXES = ("data", "cache")
@@ -48,7 +49,9 @@ def make_dp_train_step(cfg: Config, model, caps, mesh: Mesh,
     """
     fetch = None
     if sharded_features:
-        fetch = lambda feats, frontier: sharded_row_fetch(  # noqa: E731
+        # stats variant: capped requests (zero rows) are counted and
+        # folded into the step's cap_overflow metric by make_step_fns
+        fetch = lambda feats, frontier: sharded_row_fetch_stats(  # noqa: E731
             feats, frontier, "cache")
     train_step, eval_step, *_ = make_step_fns(
         cfg, model, caps, feature_fetch=fetch, shard_axes=MESH_AXES)
@@ -86,7 +89,7 @@ def make_dp_epoch_fns(cfg: Config, model, caps, mesh: Mesh,
     """
     fetch = None
     if sharded_features:
-        fetch = lambda feats, frontier: sharded_row_fetch(  # noqa: E731
+        fetch = lambda feats, frontier: sharded_row_fetch_stats(  # noqa: E731
             feats, frontier, "cache")
     fns = make_step_fns(cfg, model, caps, feature_fetch=fetch,
                         shard_axes=MESH_AXES)

@@ -80,7 +80,9 @@ def _partitioned_step_fns(cfg: Config, model, caps):
             return masked_softmax_ce(out, batch.labels, mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        grads = jax.lax.pmean(grads, AXIS)
+        # already psummed across hosts by the vma transpose (see
+        # train.loop.train_step); divide for the DDP mean
+        grads = jax.tree.map(lambda g: g / jax.lax.axis_size(AXIS), grads)
         loss = jax.lax.pmean(loss, AXIS)
         state = state.apply_gradients(grads)
         edges = jax.lax.psum(sum(b.num_edges() for b in batch.blocks), AXIS)
@@ -100,7 +102,10 @@ def _partitioned_step_fns(cfg: Config, model, caps):
         out = out[: batch.seed_cap]
         mask = batch.seed_mask()
         if is_lp:
-            a, b = lp_logsigmoid_loss(out, mask), jnp.sum(mask)
+            # (mean LP loss, 1) per shard-step: the driver's c/n then
+            # averages over shards x steps (see train.loop.eval_step —
+            # dividing by sum(mask) would report ~loss/batch).
+            a, b = lp_logsigmoid_loss(out, mask), jnp.ones((), jnp.int32)
         else:
             pred = jnp.argmax(out, axis=-1)
             a, b = jnp.sum((pred == batch.labels) & mask), jnp.sum(mask)

@@ -172,19 +172,21 @@ class MeshTrainer:
         start = int(jax.device_get(self.state.epoch))
         if start > 0:
             log(f"resumed from checkpoint at epoch {start}")
+        from legion_tpu.utils.logging import eval_labels
+        vlab, tlab = eval_labels(self.cfg)
         for epoch in range(start, epochs):
             rec = self.train_one_epoch(epoch)
             acc = self.evaluate("valid")
             self.state = self.state.replace(
                 epoch=jnp.full((), epoch + 1, jnp.int32))
             log(f"Epoch:{epoch}, Cost:{rec['epoch_s']:.3f} s, "
-                f"Loss:{rec['loss']:.4f}, Val Acc: {acc:.4f}, "
+                f"Loss:{rec['loss']:.4f}, {vlab}: {acc:.4f}, "
                 f"edges/s: {rec['edges_per_s']:.3e} "
                 f"[mesh {dict(self.mesh.shape)}]")
             rec["valid"] = acc
             if self.cfg.train.checkpoint_dir:
                 save_checkpoint(self.cfg.train.checkpoint_dir, self.state)
         test_acc = self.evaluate("test")
-        log(f"Accuracy on test data: {test_acc:.4f}")
+        log(f"{tlab}: {test_acc:.4f}")
         return {"test_acc": test_acc, "history": self.history,
                 "mesh": dict(self.mesh.shape)}

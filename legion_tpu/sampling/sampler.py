@@ -80,10 +80,16 @@ class DeviceGraph:
     def from_host(cls, indptr, indices, window_lines: int = 2,
                   layout: str = "auto",
                   aligned_max_expand: float = 2.0,
-                  lined_max_bytes: int = 2 << 30) -> "DeviceGraph":
+                  lined_max_bytes: int = 2 << 30,
+                  lined_max_expand: float = 4.0) -> "DeviceGraph":
         """layout:
         * "auto" (default): "lined" when the graph is small enough
-          (num_nodes * 512B <= lined_max_bytes), else "aligned".
+          (num_nodes * 512B <= lined_max_bytes) AND the flat 512B/node
+          doesn't balloon sparse graphs (lined bytes <=
+          ``lined_max_expand`` x edge bytes, with a 64 MiB floor so tiny
+          graphs always qualify — without the relative guard a 4M-node /
+          8M-edge graph would jump from ~32 MB windowed to 2 GiB of
+          topology HBM); else "aligned".
         * "lined": direct-addressed — 512B line per node id, degree
           stored in-line (lane 127), so a sampled hop costs ONE
           descriptor per node (no meta-row gather; measured -0.6 ms/step
@@ -113,6 +119,7 @@ class DeviceGraph:
         n = deg.shape[0]
         if layout == "auto":
             layout = ("lined" if n * 512 <= lined_max_bytes
+                      and n * 512 <= lined_max_expand * max(e * 4, 64 << 20)
                       and n * 128 < 2 ** 31 else "aligned")
         if layout == "lined":
             assert n * 128 < 2 ** 31, "lined layout needs N*128 < 2^31"
@@ -314,6 +321,10 @@ def sample_neighbors(key: jax.Array, graph: DeviceGraph,
         nbr = _select_lanes(win, jnp.minimum(draw, 126), graph.num_nodes)
         tail_cap = min(p, (graph.big_deg_count + 7) // 8 * 8)
         if tail_cap > 0:
+            assert graph.meta is not None and \
+                graph.tail_indices is not None, (
+                    "lined DeviceGraph with big_deg_count > 0 needs meta "
+                    "and tail_indices (from_host builds both)")
             t = valid & (deg > 127)
             tpos = jnp.cumsum(t.astype(jnp.int32)) - 1
             tidx = jnp.where(t, jnp.minimum(tpos, tail_cap - 1), tail_cap)

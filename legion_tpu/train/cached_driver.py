@@ -207,9 +207,11 @@ def run_cached_training(cfg: Config, data: GraphData, log=print) -> Dict:
         r["valid"] = eval_set(np.asarray(data.valid_ids),
                               plan.valid_steps, plan.valid_batch[0])
         history.append(r)
+        from legion_tpu.utils.logging import eval_labels
+        vlab, _ = eval_labels(cfg)
         log(f"Epoch:{epoch}, Cost:{r['seconds']:.3f} s, "
             f"Loss:{r['loss']:.4f}, hit:{r['cache_hit_rate']:.3f}, "
-            f"host_gb:{r['host_gb']:.3f}, Val Acc: {r['valid']:.4f}"
+            f"host_gb:{r['host_gb']:.3f}, {vlab}: {r['valid']:.4f}"
             + (f" [STAGING OVERFLOW {r['staging_overflow']} rows]"
                if r.get("staging_overflow") else ""))
         if cfg.train.checkpoint_dir:
@@ -218,6 +220,7 @@ def run_cached_training(cfg: Config, data: GraphData, log=print) -> Dict:
             save_checkpoint(cfg.train.checkpoint_dir, state)
     test_acc = eval_set(np.asarray(data.test_ids), plan.test_steps,
                         plan.test_batch[0])
-    log(f"Accuracy on test data: {test_acc:.4f}")
+    from legion_tpu.utils.logging import eval_labels
+    log(f"{eval_labels(cfg)[1]}: {test_acc:.4f}")
     return {"state": state, "history": history, "cost": cost,
             "test_acc": test_acc}

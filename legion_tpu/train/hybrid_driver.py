@@ -164,15 +164,17 @@ def run_hybrid_training(cfg: Config, data: GraphData, log=print) -> Dict:
         r["epoch"] = epoch
         r["valid"] = eval_set(np.asarray(data.valid_ids))
         history.append(r)
+        from legion_tpu.utils.logging import eval_labels
         log(f"Epoch:{epoch}, Cost:{r['seconds']:.3f} s, "
             f"Loss:{r['loss']:.4f}, feat_hit:{r['feat_hit_rate']:.3f}, "
             f"topo_hot:{r['topo_hot_fraction']:.3f}, "
-            f"Val Acc: {r['valid']:.4f}")
+            f"{eval_labels(cfg)[0]}: {r['valid']:.4f}")
         if cfg.train.checkpoint_dir:
             state = state.replace(
                 epoch=jnp.full((), epoch + 1, jnp.int32))
             save_checkpoint(cfg.train.checkpoint_dir, state)
     test_acc = eval_set(np.asarray(data.test_ids))
-    log(f"Accuracy on test data: {test_acc:.4f}")
+    from legion_tpu.utils.logging import eval_labels
+    log(f"{eval_labels(cfg)[1]}: {test_acc:.4f}")
     return {"state": state, "history": history, "cost": cost,
             "sampler": hs, "trainer": tr, "test_acc": test_acc}

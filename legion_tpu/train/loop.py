@@ -109,20 +109,27 @@ def make_step_fns(cfg: Config, model, caps,
 
     def forward(params, batch, feats, dropout_rng, deterministic):
         x = fetch(feats, batch.frontier)
+        # a feature_fetch may return (rows, overflow): requests the
+        # striped-exchange fetch had to cap (zero rows — silently wrong
+        # features unless surfaced; folded into cap_overflow below)
+        fov = jnp.zeros((), jnp.int32)
+        if isinstance(x, tuple):
+            x, fov = x
         blocks = tuple(reversed(batch.blocks))
         rngs = {} if deterministic else {"dropout": dropout_rng}
         return model.apply({"params": params}, blocks, x,
-                           deterministic=deterministic, rngs=rngs)
+                           deterministic=deterministic, rngs=rngs), fov
 
     def loss_fn(params, batch, feats, dropout_rng):
-        out = forward(params, batch, feats, dropout_rng, deterministic=False)
+        out, fov = forward(params, batch, feats, dropout_rng,
+                           deterministic=False)
         out = out[: batch.seed_cap]
         mask = batch.seed_mask()
         if is_lp:
             loss = lp_logsigmoid_loss(out, mask)
         else:
             loss = masked_softmax_ce(out, batch.labels, mask)
-        return loss
+        return loss, fov
 
     def train_step(state: TrainState, graph: DeviceGraph, feats,
                    seeds, num_seeds, labels):
@@ -130,10 +137,23 @@ def make_step_fns(cfg: Config, model, caps,
         skey, dkey = jax.random.split(key)
         batch = sample_batch(skey, graph, seeds, num_seeds, labels,
                              fanouts, caps, dedup_last=dedup_last)
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, batch, feats, dkey)
+        (loss, fetch_overflow), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, feats, dkey)
         if shard_axes:
-            grads = jax.lax.pmean(grads, shard_axes)
+            # jax-0.9 shard_map (vma): the transpose of the implicit
+            # pvary on the replicated params ALREADY all-reduce-sums
+            # grads across shards inside value_and_grad. A pmean here
+            # would (a) burn a second param-sized all-reduce and
+            # (b) return the SUM anyway (pmean of identical sums),
+            # silently scaling the effective lr by the shard count.
+            # Divide by the shard count to get the DDP mean. Semantics
+            # pinned by tests/test_comm_accounting.py (grads == the
+            # single-chip grads of the same batches; exactly ONE
+            # param-sized all-reduce in the compiled step).
+            n_sh = 1
+            for a in shard_axes:
+                n_sh *= jax.lax.axis_size(a)
+            grads = jax.tree.map(lambda g: g / n_sh, grads)
             loss = jax.lax.pmean(loss, shard_axes)
         state = state.apply_gradients(grads)
         edges = sum(b.num_edges() for b in batch.blocks)
@@ -147,7 +167,7 @@ def make_step_fns(cfg: Config, model, caps,
             jnp.maximum(blk.num_src - cap, 0)
             for blk, cap in zip(batch.blocks, caps[1:])
             if blk.identity_offset is None)
-        overflow = jnp.asarray(overflow, jnp.int32)
+        overflow = jnp.asarray(overflow, jnp.int32) + fetch_overflow
         if shard_axes:
             edges = jax.lax.psum(edges, shard_axes)
             frontier = jax.lax.psum(frontier, shard_axes)
@@ -160,11 +180,15 @@ def make_step_fns(cfg: Config, model, caps,
                   labels, key):
         batch = sample_batch(shard_key(key), graph, seeds, num_seeds,
                              labels, fanouts, caps, dedup_last=dedup_last)
-        out = forward(params, batch, feats, None, deterministic=True)
+        out, _ = forward(params, batch, feats, None, deterministic=True)
         out = out[: batch.seed_cap]
         mask = batch.seed_mask()
         if is_lp:
-            a, b = lp_logsigmoid_loss(out, mask), jnp.sum(mask)
+            # (per-step mean LP loss, 1): eval_scan's a/b then averages
+            # over steps (and shards, via the psum below). Dividing by
+            # sum(mask) — the accuracy path's denominator — would report
+            # ~loss/batch_size (caught by tests/test_lp_trainers.py).
+            a, b = lp_logsigmoid_loss(out, mask), jnp.ones((), jnp.int32)
         else:
             pred = jnp.argmax(out, axis=-1)
             a, b = jnp.sum((pred == batch.labels) & mask), jnp.sum(mask)
@@ -381,16 +405,18 @@ class Trainer:
             log: Callable[[str], None] = print) -> Dict:
         epochs = epochs or self.cfg.train.epochs
         start = int(jax.device_get(self.state.epoch))
+        from legion_tpu.utils.logging import eval_labels
+        vlab, tlab = eval_labels(self.cfg)
         for epoch in range(start, epochs):
             rec = self.train_one_epoch(epoch)
             acc = self.evaluate("valid")
             self.state = self.state.replace(
                 epoch=jnp.full((), epoch + 1, jnp.int32))
             log(f"Epoch:{epoch}, Cost:{rec['epoch_s']:.3f} s, "
-                f"Loss:{rec['loss']:.4f}, Val Acc: {acc:.4f}, "
+                f"Loss:{rec['loss']:.4f}, {vlab}: {acc:.4f}, "
                 f"edges/s: {rec['edges_per_s']:.3e}")
             if self.cfg.train.checkpoint_dir:
                 save_checkpoint(self.cfg.train.checkpoint_dir, self.state)
         test_acc = self.evaluate("test")
-        log(f"Accuracy on test data: {test_acc:.4f}")
+        log(f"{tlab}: {test_acc:.4f}")
         return {"test_acc": test_acc, "history": self.history}

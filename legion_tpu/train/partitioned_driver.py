@@ -170,14 +170,16 @@ def run_partitioned_training(cfg: Config, data: GraphData, mesh=None,
                "edge_cut": cut}
         rec["valid"] = eval_set(np.asarray(data.valid_ids))
         history.append(rec)
+        from legion_tpu.utils.logging import eval_labels
         log(f"Epoch:{epoch}, Cost:{dt:.3f} s, Loss:{rec['loss']:.4f}, "
-            f"Val Acc: {rec['valid']:.4f}, edges/s: "
+            f"{eval_labels(cfg)[0]}: {rec['valid']:.4f}, edges/s: "
             f"{rec['edges_per_s']:.3e} [{k}-way partitioned]")
         if cfg.train.checkpoint_dir:
             state = state.replace(
                 epoch=jnp.full((), epoch + 1, jnp.int32))
             save_checkpoint(cfg.train.checkpoint_dir, state)
     test_acc = eval_set(np.asarray(data.test_ids))
-    log(f"Accuracy on test data: {test_acc:.4f}")
+    from legion_tpu.utils.logging import eval_labels
+    log(f"{eval_labels(cfg)[1]}: {test_acc:.4f}")
     return {"state": state, "history": history, "test_acc": test_acc,
             "edge_cut": cut, "mesh": dict(mesh.shape)}

@@ -205,10 +205,12 @@ def run_striped_training(cfg: Config, data: GraphData, mesh=None,
         r["epoch"] = epoch
         r["valid"] = eval_set(np.asarray(data.valid_ids))
         history.append(r)
+        from legion_tpu.utils.logging import eval_labels
         log(f"Epoch:{epoch}, Cost:{r['seconds']:.3f} s, "
             f"Loss:{r['loss']:.4f}, hit:{r['cache_hit_rate']:.3f}, "
             f"host_gb:{r['host_gb']:.3f}, "
-            f"edges/s:{r['edges_per_s']:.3e}, Val Acc: {r['valid']:.4f}"
+            f"edges/s:{r['edges_per_s']:.3e}, "
+            f"{eval_labels(cfg)[0]}: {r['valid']:.4f}"
             + (f" [STAGING OVERFLOW {r['staging_overflow']} rows]"
                if r.get("staging_overflow") else ""))
         if cfg.train.checkpoint_dir:
@@ -216,6 +218,7 @@ def run_striped_training(cfg: Config, data: GraphData, mesh=None,
                 epoch=jnp.full((), epoch + 1, jnp.int32))
             save_checkpoint(cfg.train.checkpoint_dir, state)
     test_acc = eval_set(np.asarray(data.test_ids))
-    log(f"Accuracy on test data: {test_acc:.4f}")
+    from legion_tpu.utils.logging import eval_labels
+    log(f"{eval_labels(cfg)[1]}: {test_acc:.4f}")
     return {"state": state, "history": history, "cost": cost,
             "test_acc": test_acc, "mesh": dict(mesh.shape)}

@@ -35,3 +35,13 @@ def log_metrics(record: Dict[str, Any], stream=None) -> None:
     stream = stream or sys.stderr
     rec = {"ts": round(time.time(), 3), **record}
     print(json.dumps(rec), file=stream, flush=True)
+
+
+def eval_labels(cfg) -> "tuple[str, str]":
+    """(valid label, test label) for driver epoch lines. For ``lp_sage``
+    the eval figure is a mean -logsigmoid loss (LOWER is better,
+    ``pytorch_extension/lp_sage.py:86-97``), not an accuracy — labeling
+    it "Val Acc" misreads a falling curve as degradation."""
+    if cfg.model.arch == "lp_sage":
+        return "Val LP-loss", "LP-loss on test data"
+    return "Val Acc", "Accuracy on test data"

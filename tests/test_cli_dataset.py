@@ -69,6 +69,31 @@ def test_cli_partitioned_honors_partition_file(packed_dir):
     assert "Accuracy on test data" in r.stdout
 
 
+def test_cli_auto_cache_group(packed_dir):
+    """Unset --cache-group with a cache defaults to the largest mesh
+    divisor inside the local device count (reference: cache_agg_mode
+    derived from NVLink topology, legion_server.py:61-68)."""
+    r = _run(["--data-dir", packed_dir, "--epochs", "1",
+              "--batch-size", "32", "--fanouts", "4,3",
+              "--hidden-dim", "16", "--devices", "4",
+              "--cache-budget-gb", "0.001"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "auto --cache-group 4" in r.stderr
+    assert '"group_size": 4' in r.stdout
+
+
+def test_cli_explicit_cache_group_cross_host_warns(packed_dir):
+    """An explicit Kg beyond the local device count warns that stripe
+    exchange leaves the ICI domain."""
+    r = _run(["--data-dir", packed_dir, "--epochs", "1",
+              "--batch-size", "32", "--fanouts", "4,3",
+              "--devices", "16", "--cache-group", "16",
+              "--cache-budget-gb", "0.001"])
+    # 16 devices don't exist on the CI mesh, so the run itself fails —
+    # the warning must have fired first.
+    assert "exceeds the 8 local devices" in r.stderr
+
+
 def test_loader_partition_roundtrip(packed_dir):
     data = load_dataset(packed_dir, partition_count=2)
     assert data.partition is not None

@@ -143,3 +143,87 @@ def test_dp_sharded_features_matches_replicated(small_graph):
                     jax.tree_util.tree_leaves(out2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_exact_fetch_matches_dense_all_group_sizes():
+    """The exact (route-by-owner all_to_all) exchange returns the same
+    rows as a dense lookup for every group size, with -1 padding and
+    duplicate ids, and counts zero overflow at uniform ownership."""
+    from legion_tpu.parallel.feature_exchange import sharded_row_fetch_stats
+    rng = np.random.default_rng(3)
+    n, d, m = 500, 8, 64
+    table = rng.standard_normal((n, d)).astype(np.float32)
+    for k in (1, 2, 8):
+        mesh = make_mesh(k, cache_group_size=k)
+        feats = put_striped_features(table, mesh)
+        ids = np.where(rng.random((k, m)) < 0.7,
+                       rng.integers(0, n, (k, m)), -1).astype(np.int32)
+        dup = rng.integers(0, n)
+        ids[:, :4] = dup                      # duplicates across chips
+        ids_sh = jax.device_put(jnp.asarray(ids.reshape(-1)),
+                                NamedSharding(mesh, P("cache")))
+
+        def f(rl, il):
+            o, ov = sharded_row_fetch_stats(rl, il, "cache")
+            return o, ov[None]
+
+        out, ov = jax.jit(jax.shard_map(
+            f, mesh=mesh, in_specs=(P("cache"), P("cache")),
+            out_specs=(P("cache"), P("cache"))))(feats, ids_sh)
+        assert int(np.asarray(ov).sum()) == 0
+        out = np.asarray(out).reshape(k, m, d)
+        want = np.where(ids[..., None] >= 0,
+                        table[np.clip(ids, 0, None)], 0.0)
+        np.testing.assert_allclose(out, want, rtol=1e-6)
+
+
+def test_exact_fetch_overflow_counted_and_zeroed():
+    """Adversarial skew (every request owned by chip 0): requests beyond
+    the per-owner cap return ZERO rows and are COUNTED — the static-cap
+    + overflow-metric contract."""
+    from legion_tpu.parallel.feature_exchange import (
+        owner_cap, sharded_row_fetch_stats)
+    k, n, d, m = 4, 400, 8, 64
+    mesh = make_mesh(k, cache_group_size=k)
+    table = np.arange(n * d, dtype=np.float32).reshape(n, d)
+    feats = put_striped_features(table, mesh)
+    ids = ((np.arange(k * m, dtype=np.int32) * k) % n)  # all owner 0
+    ids_sh = jax.device_put(jnp.asarray(ids),
+                            NamedSharding(mesh, P("cache")))
+
+    def f(rl, il):
+        o, ov = sharded_row_fetch_stats(rl, il, "cache")
+        return o, ov[None]
+
+    out, ov = jax.jit(jax.shard_map(
+        f, mesh=mesh, in_specs=(P("cache"), P("cache")),
+        out_specs=(P("cache"), P("cache"))))(feats, ids_sh)
+    cap = owner_cap(m, k)
+    assert np.asarray(ov).tolist() == [m - cap] * k
+    out = np.asarray(out).reshape(k, m, d)
+    want = table[ids.reshape(k, m)]
+    np.testing.assert_allclose(out[:, :cap], want[:, :cap])
+    assert (out[:, cap:] == 0).all()
+
+
+def test_striped_plan_demotes_overflow_to_misses():
+    """StripedFeatureCache.plan_ids(k>1): hits beyond the exchange cap
+    become host-staged misses — correct under any skew, never zero rows
+    (the feature-path self-healing contract)."""
+    from legion_tpu.cache.striped import StripedFeatureCache
+    # hot ranks 0..63, all with rank % 4 == 0 -> all owned by chip 0
+    m, k, miss_cap = 64, 4, 64
+    hot = jnp.arange(0, 256, 1, dtype=jnp.int32)
+    frontier = jnp.asarray((np.arange(m) * 4).astype(np.int32))  # ids
+    # ids 0,4,8,... are hot ranks 0,4,8,... (hot = identity here), all
+    # rank % 4 == 0
+    base = StripedFeatureCache.plan_ids(hot, frontier, miss_cap)
+    assert int(base.num_hit) == m
+    plan = StripedFeatureCache.plan_ids(hot, frontier, miss_cap, k=k)
+    from legion_tpu.parallel.feature_exchange import owner_cap
+    cap = owner_cap(m, k)
+    assert int(plan.num_hit) == cap
+    assert int(plan.num_miss) == m - cap
+    # demoted ids staged for the host
+    staged_ids = np.asarray(plan.miss_ids)
+    assert (staged_ids[: m - cap] >= 0).all()

@@ -165,12 +165,18 @@ def test_striped_1x1_matches_cached_trainer(small_graph):
                              0.01, 0)
     r_single = ct.run_epoch(st2, seeds, labels)
 
-    assert r_striped["loss"] == r_single["loss"]
+    # identical key schedule + identical feature VALUES; parameters match
+    # to float rounding. (Bit-for-bit held through r3 when both programs
+    # had identical op sequences; the r4 exact exchange re-orders ops, so
+    # XLA's fusion/accumulation order can differ by ~1 ulp/step.)
+    np.testing.assert_allclose(r_striped["loss"], r_single["loss"],
+                               rtol=1e-6, atol=0)
     assert r_striped["cache_hit_rate"] == r_single["cache_hit_rate"]
     assert r_striped["staging_overflow"] == r_single["staging_overflow"]
     for a, b in zip(jax.tree_util.tree_leaves(r_striped["state"].params),
                     jax.tree_util.tree_leaves(r_single["state"].params)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
 
 
 def test_striped_eval(small_graph):

@@ -107,14 +107,20 @@ def test_striped_hybrid_1x1_bit_matches_hybrid_trainer(small_graph):
                              0.01, 0)
     r_single = ht.run_epoch(st2, seeds, labels, epoch=0)
 
-    assert r_striped["loss"] == r_single["loss"]
+    # identical key schedule, host-seed schedule, and draw VALUES; params
+    # match to float rounding (bit-for-bit held through r3 with identical
+    # op sequences; the r4 exact exchange re-orders ops — see
+    # tests/test_striped.py's matching note)
+    np.testing.assert_allclose(r_striped["loss"], r_single["loss"],
+                               rtol=1e-6, atol=0)
     assert r_striped["feat_hit_rate"] == r_single["feat_hit_rate"]
     assert r_striped["topo_hot_fraction"] == r_single["topo_hot_fraction"]
     assert r_striped["fetches"] == r_single["fetches"]
     assert (r_striped["host_topo_gb"] == r_single["host_topo_gb"])
     for a, b in zip(jax.tree_util.tree_leaves(r_striped["state"].params),
                     jax.tree_util.tree_leaves(r_single["state"].params)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
 
     # eval parity too (deterministic path)
     ids = np.asarray(small_graph.valid_ids)[:48]

@@ -65,12 +65,16 @@ def run_gate(quick: bool = False, log=print):
     failures = []
 
     def check(name, ok, ms):
-        results.append({"kernel": name, "ok": bool(ok), "ms": round(ms, 3)})
-        log(f"{name:42s} {'OK ' if ok else 'FAIL'} {ms:8.3f} ms")
+        # quick mode skips timing — say so instead of printing "0.000 ms"
+        # as if measured (VERDICT r3 weak #6)
+        results.append({"kernel": name, "ok": bool(ok),
+                        "ms": None if ms is None else round(ms, 3)})
+        tm = "compile-ok (untimed)" if ms is None else f"{ms:8.3f} ms"
+        log(f"{name:42s} {'OK ' if ok else 'FAIL'} {tm}")
         if not ok:
             failures.append(name)
 
-    mtime = (lambda fn: 0.0) if quick else \
+    mtime = (lambda fn: None) if quick else \
         (lambda fn: 1e3 * timeit(fn))
 
     # ---- identity_masked_mean_pallas (f32 in, bf16 out, mean/sqrt) ------

@@ -59,9 +59,14 @@ def main():
     ap.add_argument("--devices", type=int, default=1,
                     help="chips in the device mesh (0 = all local; "
                          "1 = single-chip drivers)")
-    ap.add_argument("--cache-group", type=int, default=1,
+    ap.add_argument("--cache-group", type=int, default=None,
                     help="cache group size Kg: chips jointly holding one "
-                         "striped hot-cache copy (NVLink-clique analog)")
+                         "striped hot-cache copy (NVLink-clique analog). "
+                         "Default: auto — the largest divisor of the mesh "
+                         "size that fits inside this process's local (ICI) "
+                         "device count, so striping rides ICI (the "
+                         "reference derives Kg from detected NVLink "
+                         "topology, legion_server.py:61-68)")
     ap.add_argument("--features", default="hbm",
                     choices=["hbm", "hbm_sharded"],
                     help="multi-chip HBM feature placement: replicated "
@@ -73,6 +78,32 @@ def main():
                          "LEGION_COORDINATOR/NUM_PROCESSES/PROCESS_ID "
                          "for a real multi-host run)")
     args = ap.parse_args()
+
+    # Auto cache-group (reference: cache_agg_mode derived from detected
+    # NVLink topology + GPU count, legion_server.py:61-68). Default Kg =
+    # the largest divisor of the mesh size that fits inside this
+    # process's local device count, so stripe collectives ride ICI; an
+    # explicit Kg beyond the local count warns (exchange crosses hosts).
+    if args.cache_group is None:
+        args.cache_group = 1
+        if args.cache_budget_gb > 0 and args.devices != 1:
+            import jax
+            total = (args.devices if args.devices > 0
+                     else len(jax.devices()))
+            local = jax.local_device_count()
+            args.cache_group = max(
+                d for d in range(1, min(local, total) + 1)
+                if total % d == 0)
+            print(f"auto --cache-group {args.cache_group} "
+                  f"({total}-device mesh, {local} local devices)",
+                  file=sys.stderr, flush=True)
+    elif args.cache_group > 1 and args.cache_budget_gb > 0:
+        import jax
+        if args.cache_group > jax.local_device_count():
+            print(f"WARNING: --cache-group {args.cache_group} exceeds "
+                  f"the {jax.local_device_count()} local devices: "
+                  "stripe exchange will cross process boundaries "
+                  "(DCN, not ICI)", file=sys.stderr, flush=True)
 
     from legion_tpu.config import (DATASET_REGISTRY, CacheConfig, Config,
                                    DatasetConfig, ModelConfig,
