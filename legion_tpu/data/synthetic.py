@@ -9,6 +9,8 @@ whole point is exploiting power-law access distributions.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from legion_tpu.data.format import GraphData, from_coo
@@ -105,6 +107,99 @@ def bench_graph(num_nodes: int = 2_449_029, avg_degree: int = 50,
                      valid_ids=ids[n_train:n_train + n_train // 4],
                      test_ids=ids[n_train + n_train // 4:
                                   n_train + n_train // 2])
+
+
+def streaming_power_law_graph(
+    path: str,
+    num_nodes: int,
+    avg_degree: float,
+    feature_dim: int = 32,
+    num_classes: int = 100,
+    alpha: float = 0.8,
+    seed: int = 0,
+    train_num: int = 800_000,
+    valid_num: int = 16_000,
+    test_num: int = 16_000,
+    chunk_nodes: int = 2_000_000,
+    log=print,
+) -> str:
+    """Generate a packed dataset DIRECTLY on disk with bounded RAM —
+    the billion-edge (uk-union / clueweb class) generator. bench_graph
+    materializes src+dst+argsort in memory (~24B/edge: 130+ GB at 5.5B
+    edges); this writes the CSR in node order straight into the packed
+    files (data.format layout), so peak RAM is ~3 float64/node for the
+    Zipf CDF + one chunk of draws.
+
+    In-degrees are Poisson(avg_degree) (num_edges = their sum, recorded
+    in meta.json); neighbor sources are Zipf(alpha)-popular over a
+    permuted id space (the reference's billion-scale datasets are
+    heavy-tailed web graphs, ``legion_server.py:30-53``). Returns path.
+    """
+    import json as _json
+    import time as _time
+    rng = np.random.default_rng(seed)
+    os.makedirs(path, exist_ok=True)
+
+    t0 = _time.time()
+    # in-degrees + streamed int64 indptr
+    counts = rng.poisson(avg_degree, num_nodes).astype(np.int64)
+    indptr_path = os.path.join(path, "edge_src")
+    with open(indptr_path, "wb") as f:
+        np.zeros(1, np.int64).tofile(f)
+        run = np.int64(0)
+        for s in range(0, num_nodes, chunk_nodes):
+            c = counts[s: s + chunk_nodes]
+            out = np.cumsum(c) + run
+            run = out[-1]
+            out.tofile(f)
+    num_edges = int(run)
+    log(f"indptr written ({num_edges} edges) {_time.time()-t0:.0f}s")
+
+    # Zipf CDF over permuted source ids
+    ranks = np.arange(1, num_nodes + 1, dtype=np.float64)
+    cdf = np.cumsum(ranks ** (-alpha))
+    cdf /= cdf[-1]
+    perm = rng.permutation(num_nodes).astype(np.int32)
+
+    with open(os.path.join(path, "edge_dst"), "wb") as f:
+        done = 0
+        for s in range(0, num_nodes, chunk_nodes):
+            e = int(counts[s: s + chunk_nodes].sum())
+            src = perm[np.searchsorted(
+                cdf, rng.random(e)).astype(np.int64)]
+            src.tofile(f)
+            done += e
+            if (s // chunk_nodes) % 8 == 0:
+                log(f"  edges {done}/{num_edges} "
+                    f"{_time.time()-t0:.0f}s")
+    del cdf
+    log(f"indices written {_time.time()-t0:.0f}s")
+
+    with open(os.path.join(path, "features"), "wb") as f:
+        for s in range(0, num_nodes, chunk_nodes):
+            m = min(chunk_nodes, num_nodes - s)
+            rng.standard_normal((m, feature_dim),
+                                dtype=np.float32).tofile(f)
+    log(f"features written {_time.time()-t0:.0f}s")
+
+    rng.integers(0, num_classes, num_nodes,
+                 dtype=np.int32).tofile(os.path.join(path, "labels"))
+    total = train_num + valid_num + test_num
+    ids = rng.choice(num_nodes, size=total, replace=False).astype(np.int32)
+    ids[:train_num].tofile(os.path.join(path, "trainingset"))
+    ids[train_num:train_num + valid_num].tofile(
+        os.path.join(path, "validationset"))
+    ids[train_num + valid_num:].tofile(os.path.join(path, "testingset"))
+
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        _json.dump({
+            "num_nodes": num_nodes, "num_edges": num_edges,
+            "feature_dim": feature_dim, "num_classes": num_classes,
+            "train_num": train_num, "valid_num": valid_num,
+            "test_num": test_num,
+        }, f, indent=2)
+    log(f"dataset complete {_time.time()-t0:.0f}s")
+    return path
 
 
 def chain_graph(num_nodes: int = 8, feature_dim: int = 4) -> GraphData:
