@@ -39,8 +39,9 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_P = 64
 
 
-def _kernel(x_hbm, mask_ref, out_ref, scratch, sems, *,
-            prefix: int, fanout: int, tile_p: int, norm: str):
+def _kernel(x_hbm, mask_ref, out_ref, scratch, sems, band_ref, *,
+            prefix: int, fanout: int, tile_p: int, norm: str,
+            ring: int, nsteps: int):
     i = pl.program_id(0)
     n = pl.num_programs(0)
     tpf = tile_p * fanout
@@ -50,27 +51,37 @@ def _kernel(x_hbm, mask_ref, out_ref, scratch, sems, *,
             x_hbm.at[pl.ds(prefix + idx * tpf, tpf), :],
             scratch.at[slot], sems.at[slot])
 
+    # ring-deep DMA pipeline: prime `ring` slabs at step 0, then keep
+    # the ring full (slab i+ring-1 started at step i)
     @pl.when(i == 0)
     def _():
-        dma(0, 0).start()
+        for s in range(min(ring, nsteps)):
+            dma(s % ring, s).start()
 
-    @pl.when(i + 1 < n)
+    @pl.when((i > 0) & (i + ring - 1 < n))
     def _():
-        dma((i + 1) % 2, i + 1).start()
+        dma((i + ring - 1) % ring, i + ring - 1).start()
+
+    # the block-diagonal band is IDENTICAL for every tile — build it
+    # once into scratch instead of re-deriving two iotas + compares per
+    # tile (the per-tile S-build was ~1/3 of kernel compute)
+    @pl.when(i == 0)
+    def _():
+        d_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_p, tpf), 0)
+        e_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_p, tpf), 1)
+        lo = d_iota * fanout
+        band_ref[:] = ((e_iota >= lo) & (e_iota < lo + fanout)
+                       ).astype(jnp.bfloat16)
 
     m = mask_ref[:].astype(jnp.float32)                   # (tp, f)
     cnt = jnp.sum(m, axis=1, keepdims=True)               # (tp, 1)
     # the summing matrix folds the slot mask in: S[d, k*f + j] is
     # m[d, j] on the block diagonal (k == d), 0 elsewhere, so
     # dot(S, rows)[d] = sum_j m[d, j] * rows[d*f + j]
-    m_rep = jnp.tile(m, (1, tile_p))                      # (tp, tp*f)
-    d_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_p, tpf), 0)
-    e_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_p, tpf), 1)
-    lo = d_iota * fanout
-    band = (e_iota >= lo) & (e_iota < lo + fanout)
-    s = jnp.where(band, m_rep, 0.0).astype(jnp.bfloat16)
-    dma(i % 2, i).wait()
-    rows = scratch[i % 2]
+    m_rep = jnp.tile(m, (1, tile_p)).astype(jnp.bfloat16)  # (tp, tp*f)
+    s = band_ref[:] * m_rep
+    dma(i % ring, i).wait()
+    rows = scratch[i % ring]
     if rows.dtype != jnp.bfloat16:
         rows = rows.astype(jnp.bfloat16)
     agg = jnp.dot(s, rows, preferred_element_type=jnp.float32)
@@ -101,13 +112,15 @@ def supported(x: jnp.ndarray, nbr_mask: jnp.ndarray,
 
 @functools.partial(jax.jit,
                    static_argnames=("identity_offset", "out_dtype",
-                                    "norm", "interpret", "tile_p"))
+                                    "norm", "interpret", "tile_p",
+                                    "ring"))
 def identity_masked_mean_pallas(x: jnp.ndarray, nbr_mask: jnp.ndarray,
                                 identity_offset: int,
                                 out_dtype=jnp.bfloat16,
                                 norm: str = "mean",
                                 interpret: bool = False,
-                                tile_p: int = TILE_P) -> jnp.ndarray:
+                                tile_p: int = TILE_P,
+                                ring: int | None = None) -> jnp.ndarray:
     """out[d] = reduce over valid slots j of x[identity_offset + d*f + j].
 
     norm: "mean" (SAGE), "sqrt" (GCN 'both': sum / sqrt(in-deg); the src
@@ -128,10 +141,14 @@ def identity_masked_mean_pallas(x: jnp.ndarray, nbr_mask: jnp.ndarray,
     assert p % tile_p == 0 and d % 128 == 0
     assert norm in ("mean", "sqrt", "sum")
     tpf = tile_p * fanout
+    if ring is None:
+        import os
+        ring = int(os.environ.get("LEGION_AGG_RING", "3"))
 
     return pl.pallas_call(
         functools.partial(_kernel, prefix=identity_offset,
-                          fanout=fanout, tile_p=tile_p, norm=norm),
+                          fanout=fanout, tile_p=tile_p, norm=norm,
+                          ring=ring, nsteps=p // tile_p),
         grid=(p // tile_p,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),            # x stays HBM
@@ -142,8 +159,9 @@ def identity_masked_mean_pallas(x: jnp.ndarray, nbr_mask: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p, d), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, tpf, d), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((ring, tpf, d), x.dtype),
+            pltpu.SemaphoreType.DMA((ring,)),
+            pltpu.VMEM((tile_p, tpf), jnp.bfloat16),
         ],
         interpret=interpret,
     )(x, nbr_mask)

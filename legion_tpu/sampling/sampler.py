@@ -237,7 +237,10 @@ def _select_lanes(win: jnp.ndarray, off: jnp.ndarray,
     need two exact contractions (5.2ms), where the Pallas VMEM
     masked-sum kernel (ops/select_pallas.py, 4.5ms, id-width
     independent) wins and is used on TPU."""
-    if max_id >= (1 << 24) and jax.default_backend() == "tpu":
+    import os
+    sel = os.environ.get("LEGION_SELECT", "auto")  # A/B knob (bench)
+    if ((max_id >= (1 << 24) or sel == "pallas") and sel != "einsum"
+            and jax.default_backend() == "tpu"):
         from legion_tpu.ops.select_pallas import select_lanes_pallas
         return select_lanes_pallas(win, off)
     lanes = win.shape[1]
@@ -413,7 +416,11 @@ def grow_frontier(frontier_prev: jnp.ndarray, num_prev: jnp.ndarray,
     total = cat.shape[0]
 
     orig = jnp.arange(total, dtype=jnp.int32)
-    s, sorig = jax.lax.sort([cat, orig], num_keys=1, is_stable=True)
+    # lexicographic (id, orig) == stable-by-id (orig is unique and
+    # ascending within a group reproduces input order), but num_keys=2
+    # avoids the THIRD operand XLA's stable-sort lowering adds (a hidden
+    # iota tiebreak array riding every compare-exchange pass)
+    s, sorig = jax.lax.sort([cat, orig], num_keys=2)
 
     valid_s = s != SENTINEL
     first = valid_s & jnp.concatenate(
