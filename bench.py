@@ -61,12 +61,13 @@ DEG = int(os.environ.get("BENCH_DEG", 50))
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 # Slack multiplier over observed per-hop frontier maxima (the reference
 # uses 1.2, src/Server.cu:275; per-hop unique counts concentrate tightly
-# at batch 8000 so 1.05 is ample). Every step's frontier sizes are
+# at batch 8000 so small slacks hold). Every step's frontier sizes are
 # checked and the epoch asserts ZERO cap overflow, so a too-tight slack
-# fails loudly rather than silently thinning neighborhoods. 1.2 -> 1.05
-# cut the dominant feature gather by 13% (caps scale every stage):
-# 3.93e7 -> 4.83e7 edges/s.
-SLACK = float(os.environ.get("BENCH_SLACK", 1.05))
+# fails loudly rather than silently thinning neighborhoods. History:
+# 1.2 -> 1.05 cut the dominant feature gather by 13% (3.93e7 -> 4.83e7
+# edges/s); 1.05 -> 1.03 (r4) measured 7.94e7 -> 8.32e7 with zero
+# overflow across 2x160 steps (probe max 118610 vs hop-1 cap 122240).
+SLACK = float(os.environ.get("BENCH_SLACK", 1.03))
 # PRNG impl changes the draws, hence observed frontier maxima -> it is
 # part of the caps/baseline memo keys.
 PRNG = os.environ.get("BENCH_PRNG", "rbg")
