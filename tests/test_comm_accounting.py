@@ -165,6 +165,92 @@ def test_dp_grad_allreduce_bytes(small_graph):
     assert pb <= got.get("all-reduce", 0) <= pb + 256, (got, pb)
 
 
+def test_striped_cached_step_collective_composition(small_graph):
+    """The FULL striped-cached train step (Kg=2) contains exactly: the
+    exact exchange's two all_to_alls at the closed-form bytes, one
+    param-sized gradient all-reduce (+ scalar loss), and NOTHING else —
+    and the sample+plan program contains NO collectives at all. A
+    regression that reintroduces the psum exchange or a second gradient
+    all-reduce fails here by name."""
+    from legion_tpu.cache.feature_cache import FeatureCache
+    from legion_tpu.cache.striped import StripedFeatureCache
+    from legion_tpu.cache.striped_pipeline import StripedCachedTrainer
+    from legion_tpu.config import (CacheConfig, Config, DatasetConfig,
+                                   ModelConfig, SamplerConfig,
+                                   TrainConfig)
+    from legion_tpu.models import build_model
+    from legion_tpu.parallel.mesh import make_mesh
+    from legion_tpu.sampling.block import frontier_caps
+    from legion_tpu.sampling.sampler import DeviceGraph
+    from legion_tpu.train.train_state import create_train_state
+    from legion_tpu.utils.comm import param_bytes
+
+    mesh2 = make_mesh(2, cache_group_size=2)
+    cfg = Config(
+        dataset=DatasetConfig(num_classes=small_graph.num_classes,
+                              feature_placement="host"),
+        sampler=SamplerConfig(fanouts=(4, 3), batch_size=32,
+                              probe_caps=False),
+        model=ModelConfig(arch="sage", hidden_dim=16, num_layers=2,
+                          dropout=0.0),
+        train=TrainConfig(learning_rate=0.01, seed=0),
+        cache=CacheConfig(enabled=True, budget_bytes=1 << 18,
+                          group_size=2, presample_steps=2))
+    caps = frontier_caps(32, (4, 3))
+    graph = DeviceGraph.from_host(small_graph.indptr, small_graph.indices)
+    feats = np.asarray(small_graph.features)
+    order = np.arange(feats.shape[0], dtype=np.int32)
+    miss_cap = caps[-1]
+    sc = StripedFeatureCache.build(feats, order, 700, miss_cap, mesh2)
+    fc = FeatureCache.build(feats, order, 700, miss_cap=miss_cap)
+    model = build_model("sage", 16, small_graph.num_classes, 2, 0.0)
+    tr = StripedCachedTrainer(cfg, model, caps, graph, sc, mesh2,
+                              host_stage=fc.stage)
+
+    n = 2
+    rep = NamedSharding(mesh2, P())
+    shard = NamedSharding(mesh2, P(("data", "cache")))
+    key = jax.device_put(jax.random.PRNGKey(0), rep)
+    seeds = jax.device_put(
+        jnp.arange(n * 32, dtype=jnp.int32), shard)
+    nb = jax.device_put(jnp.full((n,), 32, jnp.int32), shard)
+    labels = jax.device_put(jnp.zeros((n * 32,), jnp.int32), shard)
+
+    sp_txt = tr.jit_sample_plan.lower(
+        key, tr.graph, sc.hot_ids, seeds, nb, labels).compile().as_text()
+    assert hlo_collective_bytes(sp_txt) == {}, (
+        "sample+plan must be collective-free (per-chip work only)")
+
+    batch, plan, packed = tr.jit_sample_plan(
+        key, tr.graph, sc.hot_ids, seeds, nb, labels)
+    _, staged = tr._stage(np.asarray(packed).reshape(n, -1))
+
+    # init a state on the mesh (shapes only)
+    import jax.random as jr
+    from legion_tpu.sampling.sampler import gather_features, sample_batch
+    b0 = sample_batch(jr.PRNGKey(0), graph,
+                      jnp.arange(32, dtype=jnp.int32),
+                      jnp.full((), 32, jnp.int32),
+                      jnp.zeros((32,), jnp.int32), (4, 3), caps,
+                      dedup_last=True)
+    x0 = gather_features(jnp.asarray(feats), b0.frontier)
+    params = model.init(jr.PRNGKey(0), tuple(reversed(b0.blocks)), x0,
+                        deterministic=True)["params"]
+    state = jax.device_put(create_train_state(params, 0.01, 0), rep)
+
+    txt = tr.jit_train_from.lower(state, sc.rows, batch, plan,
+                                  staged).compile().as_text()
+    got = hlo_collective_bytes(txt)
+    m = caps[-1]
+    d = sc.rows.shape[1]
+    want_a2a = exact_exchange_bytes(
+        m, 2, d, itemsize=sc.rows.dtype.itemsize)["all-to-all"]
+    pb = param_bytes(params)
+    assert got.get("all-to-all", 0) == want_a2a, (got, want_a2a)
+    assert "all-gather" not in got and "reduce-scatter" not in got, got
+    assert pb <= got.get("all-reduce", 0) <= pb + 64, (got, pb)
+
+
 def test_dp_grads_are_mean_of_shard_grads(small_graph):
     """DDP semantics pin: the mesh step's applied gradient must equal
     the MEAN over shards of the per-shard gradients (computed here
