@@ -55,6 +55,15 @@ class StripedFeatureCache(NamedTuple):
     rows: jnp.ndarray
     miss_cap: int
     group_size: int
+    # Per-owner exchange cap (rows each chip may request from one
+    # owner per fetch). None = the static fallback owner_cap(M, K)
+    # at slack 2.0; drivers that probe the built cache set it to
+    # ~1.05x the observed per-owner maximum (probed_owner_cap) —
+    # exchange volume then ~= the requested rows, the reference's
+    # exactly-requested-bytes P2P bar (src/Kernels.cu:695-699).
+    # Over-cap hits always DEMOTE to host staging (metered), so a
+    # tight cap costs hit rate, never correctness.
+    owner_cap_rows: int | None = None
 
     @property
     def capacity(self) -> int:
@@ -63,7 +72,8 @@ class StripedFeatureCache(NamedTuple):
     @classmethod
     def build(cls, host_features: np.ndarray, hot_order: np.ndarray,
               capacity: int, miss_cap: int, mesh,
-              dtype=np.float32) -> "StripedFeatureCache":
+              dtype=np.float32,
+              owner_cap_rows: int | None = None) -> "StripedFeatureCache":
         """Select the top-``capacity`` hot rows (whole cache group's
         capacity — the cost model's ``group_size``-multiplied budget) and
         stripe them over the mesh's ``cache`` axis.
@@ -81,7 +91,9 @@ class StripedFeatureCache(NamedTuple):
         hot_ids = jax.device_put(
             jnp.asarray(hot), NamedSharding(mesh, P()))
         return cls(hot_ids=hot_ids, rows=rows, miss_cap=int(miss_cap),
-                   group_size=int(k))
+                   group_size=int(k),
+                   owner_cap_rows=(int(owner_cap_rows)
+                                   if owner_cap_rows else None))
 
     # -- jit/shard_map pieces -------------------------------------------
     #
@@ -91,31 +103,37 @@ class StripedFeatureCache(NamedTuple):
 
     @staticmethod
     def plan_ids(hot_ids: jnp.ndarray, frontier: jnp.ndarray,
-                 miss_cap: int, k: int = 1) -> CachePlan:
+                 miss_cap: int, k: int = 1,
+                 cap: int | None = None) -> CachePlan:
         """Per-chip hit/miss classification. plan.slot is the hot RANK
         (owner = rank % K, local slot = rank // K).
 
         k > 1: hits whose owner chip would exceed the exact exchange's
-        per-owner cap are DEMOTED to misses, so they are host-staged
-        instead of returning zero rows — the striped path is correct
-        under ANY owner skew (staged rows equal cached rows value-for-
-        value: both are host_features[id] in the cache dtype). Demotions
-        show up as a lower hit rate / more host bytes, never as wrong
-        features. k == 1 is exactly the single-chip plan."""
+        per-owner cap (``cap``; default the static fallback) are DEMOTED
+        to misses, so they are host-staged instead of returning zero
+        rows — the striped path is correct under ANY owner skew (staged
+        rows equal cached rows value-for-value: both are
+        host_features[id] in the cache dtype). Demotions show up as a
+        lower hit rate / more host bytes, never as wrong features.
+        k == 1 is exactly the single-chip plan. The SAME cap must be
+        passed to combine_rows (the demotion mask and the fetch routing
+        must agree)."""
         plan = FeatureCache.plan_ids(hot_ids, frontier, miss_cap)
         if k <= 1:
             return plan
         return StripedFeatureCache.demote_overflow(plan, frontier,
-                                                   miss_cap, k)
+                                                   miss_cap, k, cap)
 
     @staticmethod
     def demote_overflow(plan: CachePlan, frontier: jnp.ndarray,
-                        miss_cap: int, k: int) -> CachePlan:
+                        miss_cap: int, k: int,
+                        cap: int | None = None) -> CachePlan:
         """Re-plan with over-cap hits turned into misses (see plan_ids).
         ``plan.num_hit - result.num_hit`` is the demoted count."""
         m = frontier.shape[0]
         req = jnp.where(plan.hit, plan.slot, -1)
-        _, _, in_cap, _ = route_by_owner(req, k, owner_cap(m, k))
+        _, _, in_cap, _ = route_by_owner(
+            req, k, cap if cap is not None else owner_cap(m, k))
         hit = plan.hit & in_cap
         valid = frontier >= 0
         miss = valid & jnp.logical_not(hit)
@@ -132,16 +150,20 @@ class StripedFeatureCache(NamedTuple):
     @staticmethod
     def combine_rows(rows_local: jnp.ndarray, plan: CachePlan,
                      staged: jnp.ndarray, frontier: jnp.ndarray,
-                     axis: str = "cache") -> jnp.ndarray:
+                     axis: str = "cache",
+                     cap: int | None = None) -> jnp.ndarray:
         """Merge collective-fetched hit rows and host-staged miss rows
         into the frontier's feature matrix (the striped twin of
         FeatureCache.combine_rows; identical output given the same hot
         set). Must run inside shard_map with `axis` mapped.
 
         rows_local: (cap, D) this chip's stripe. staged: (miss_cap, D)
-        this chip's staged miss rows."""
+        this chip's staged miss rows. ``cap`` MUST match the plan's
+        demotion cap (plan_ids/demote_overflow) so no surviving hit can
+        overflow the fetch routing."""
         req = jnp.where(plan.hit, plan.slot, -1)
-        hit_rows = sharded_row_fetch(rows_local, req, axis)   # (M, D)
+        hit_rows = sharded_row_fetch(rows_local, req, axis,
+                                     cap=cap)             # (M, D)
         cap = staged.shape[0]
         in_range = plan.miss_idx < cap
         missed = jnp.take(staged, jnp.clip(plan.miss_idx, 0, cap - 1),
@@ -240,7 +262,7 @@ class StripedTopoCache(NamedTuple):
     def sample_hot(hot_ids: jnp.ndarray, sub_indptr_local: jnp.ndarray,
                    sub_indices_local: jnp.ndarray, key: jax.Array,
                    frontier: jnp.ndarray, fanout: int,
-                   axis: str = "cache"):
+                   axis: str = "cache", cap: int | None = None):
         """One hop for the cache-hit subset of the frontier, striped.
 
         Must run inside shard_map with `axis` mapped; the local stripe
@@ -266,7 +288,8 @@ class StripedTopoCache(NamedTuple):
         k = jax.lax.axis_size(axis)
         me = jax.lax.axis_index(axis)
         m = frontier.shape[0]
-        cap = owner_cap(m, k)
+        if cap is None:
+            cap = owner_cap(m, k)
 
         hit, rank = StripedTopoCache.lookup(hot_ids, frontier)
         req = jnp.where(hit, rank, -1)

@@ -62,7 +62,8 @@ class StripedHybridTrainer:
 
     def __init__(self, cfg: Config, model, caps, topo: StripedTopoCache,
                  host_indptr: np.ndarray, host_indices: np.ndarray,
-                 fcache: StripedFeatureCache, mesh, host_stage=None):
+                 fcache: StripedFeatureCache, mesh, host_stage=None,
+                 topo_owner_caps=None):
         from legion_tpu.sampling.block import SampledBatch
 
         self.cfg = cfg
@@ -85,6 +86,16 @@ class StripedHybridTrainer:
         miss_cap = fcache.miss_cap
         n = self.n_shards
         H = len(fanouts)
+        # per-owner exchange caps: probed by the driver (~1.05x observed
+        # per-owner maxima, see striped_hybrid_driver) or None = static
+        # 2x fallback. tcaps[k] bounds hop k's sample_hot routing; the
+        # feature cap feeds both the plan demotion and the fetch (they
+        # must agree). Over-cap requests demote to the host path.
+        tcaps = tuple(topo_owner_caps) if topo_owner_caps \
+            else (None,) * H
+        assert len(tcaps) == H, (tcaps, H)
+        ocap_feat = fcache.owner_cap_rows
+        self.topo_owner_caps = tcaps
         self._rep = NamedSharding(mesh, P())
         self._shard = NamedSharding(mesh, P(MESH_AXES))
         ax = P(MESH_AXES)
@@ -102,7 +113,8 @@ class StripedHybridTrainer:
             # then per-chip decorrelation
             hk = fold_shard(jax.random.fold_in(key, k))
             return StripedTopoCache.sample_hot(hot_t, sp, si, hk,
-                                               frontier, fanout)
+                                               frontier, fanout,
+                                               cap=tcaps[k])
 
         def pack_hop(frontier, hit, edges):
             """[n_hot, prev-block edges | miss ids (-1 where hot/pad)] —
@@ -153,7 +165,7 @@ class StripedHybridTrainer:
             # contract, StripedFeatureCache.plan_ids)
             plan = StripedFeatureCache.plan_ids(
                 feat_hot, frontier, miss_cap,
-                k=jax.lax.axis_size("cache"))
+                k=jax.lax.axis_size("cache"), cap=ocap_feat)
             packed_feat = jnp.concatenate([
                 jnp.stack([plan.num_hit, plan.num_miss, plan.num_valid,
                            plan.overflow(), blk.num_edges()]),
@@ -171,7 +183,8 @@ class StripedHybridTrainer:
 
             def loss_fn(params, dkey):
                 x = StripedFeatureCache.combine_rows(
-                    rows_local, plan, staged, batch.frontier, axis="cache")
+                    rows_local, plan, staged, batch.frontier,
+                    axis="cache", cap=ocap_feat)
                 blocks = tuple(reversed(batch.blocks))
                 out = model.apply({"params": params}, blocks, x,
                                   deterministic=False,
@@ -197,7 +210,8 @@ class StripedHybridTrainer:
             plan = drop(plan)
             staged = staged[0]
             x = StripedFeatureCache.combine_rows(
-                rows_local, plan, staged, batch.frontier, axis="cache")
+                rows_local, plan, staged, batch.frontier,
+                axis="cache", cap=ocap_feat)
             blocks = tuple(reversed(batch.blocks))
             out = model.apply({"params": params}, blocks, x,
                               deterministic=True)

@@ -81,6 +81,10 @@ class StripedCachedTrainer:
         fanouts = tuple(cfg.sampler.fanouts)
         n = self.n_shards
         miss_cap = cache.miss_cap
+        # per-owner exchange cap: probed by the driver (~1.05x observed
+        # per-owner maxima) or the static 2x fallback; the SAME value
+        # feeds the plan's demotion mask and the fetch routing.
+        ocap = cache.owner_cap_rows
         shard = NamedSharding(mesh, P(MESH_AXES))
         self._shard = shard
 
@@ -104,7 +108,8 @@ class StripedCachedTrainer:
             # owner_cap slack)
             kx = jax.lax.axis_size("cache")
             plan = (StripedFeatureCache.demote_overflow(
-                base, batch.frontier, miss_cap, kx) if kx > 1 else base)
+                base, batch.frontier, miss_cap, kx, cap=ocap)
+                if kx > 1 else base)
             xov = base.num_hit - plan.num_hit
             edges = sum(b.num_edges() for b in batch.blocks)
             packed = jnp.concatenate([
@@ -123,7 +128,8 @@ class StripedCachedTrainer:
 
             def loss_fn(params, dkey):
                 x = StripedFeatureCache.combine_rows(
-                    rows_local, plan, staged, batch.frontier, axis="cache")
+                    rows_local, plan, staged, batch.frontier,
+                    axis="cache", cap=ocap)
                 blocks = tuple(reversed(batch.blocks))
                 out = model.apply({"params": params}, blocks, x,
                                   deterministic=False,
@@ -151,7 +157,8 @@ class StripedCachedTrainer:
             plan = jax.tree.map(lambda a: a[0], plan)
             staged = staged[0]
             x = StripedFeatureCache.combine_rows(
-                rows_local, plan, staged, batch.frontier, axis="cache")
+                rows_local, plan, staged, batch.frontier,
+                axis="cache", cap=ocap)
             blocks = tuple(reversed(batch.blocks))
             out = model.apply({"params": params}, blocks, x,
                               deterministic=True)

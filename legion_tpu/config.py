@@ -111,6 +111,15 @@ class TrainConfig:
     # directory (inspect with tools/profile_hlo.summarize or
     # tensorboard). The framework's tracing hook (SURVEY.md §5).
     profile_dir: Optional[str] = None
+    # lax.scan unroll factor for whole-epoch programs: XLA schedules
+    # across step boundaries inside an unrolled group, overlapping step
+    # i+1's sampling with step i's DMA-bound gather/backward (the
+    # single-program analog of the reference's two-stream overlap,
+    # src/Server.cu:310-316). Measured on chip: 1/2/4/8 =
+    # 7.82/7.90/7.92/7.85e7 edges/s. LEGION_SCAN_UNROLL env var
+    # overrides (A/B convenience only; the config is the source of
+    # truth).
+    scan_unroll: int = 4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -140,6 +149,18 @@ class ParallelConfig:
     train.striped_driver."""
 
     num_devices: int = 0                # 0 = all local devices
+    # Halo (boundary) exchange strategy for edge-partitioned training:
+    # "exact" = per-ring-distance ppermute rounds with probed
+    # non-uniform caps (each requested row crosses the network once;
+    # over-cap requests are dropped LOUDLY and metered as
+    # halo_overflow); "psum" = the cap-free all_gather + psum_scatter
+    # oracle (K x the requested bytes). See parallel/halo.py.
+    halo_exchange: str = "exact"
+    # Slack over the observed per-distance request maxima when sizing
+    # the exact exchange's caps (halo counts concentrate less tightly
+    # than the striped cache's round-robin ranks, hence > 1.05).
+    halo_cap_slack: float = 1.3
+    halo_probe_batches: int = 2
 
 
 @dataclasses.dataclass(frozen=True)

@@ -44,11 +44,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Static per-owner request-cap slack over the uniform share ceil(M/K).
-# Round-robin ownership makes per-owner counts concentrate tightly at
-# hit_count/K <= M/K; 2x absorbs skew while still cutting exchange
-# volume by K/2 vs the psum path (K=4: 2x fewer bytes; K=8: 4x).
+# Static per-owner request-cap slack over the uniform share ceil(M/K) —
+# the PROBE-FREE FALLBACK. Round-robin ownership makes per-owner counts
+# concentrate tightly at hit_count/K <= M/K; 2x absorbs skew while still
+# cutting exchange volume by K/2 vs the psum path (K=4: 2x fewer bytes;
+# K=8: 4x). Drivers that can probe the built cache size the cap from
+# OBSERVED per-owner maxima instead (probed_owner_cap, slack ~1.05),
+# taking the exchange to ~1.05x the requested rows — the reference's
+# P2P bar (exactly requested bytes, src/Kernels.cu:695-699) within 5%.
 OWNER_CAP_SLACK = 2.0
+
+# Slack over the observed per-owner maximum when the cap is probe-sized
+# (the frontier-cap discipline: probe, cap at ~1.05x, assert/meter
+# overflow loudly — here over-cap requests DEMOTE to the host path, so
+# a burst costs hit rate, never correctness).
+PROBED_OWNER_SLACK = 1.05
 
 
 def owner_cap(m: int, k: int, slack: float = OWNER_CAP_SLACK) -> int:
@@ -56,6 +66,28 @@ def owner_cap(m: int, k: int, slack: float = OWNER_CAP_SLACK) -> int:
     8-aligned, never below 8 or above M."""
     c = int(-(-m // k) * slack)
     return max(8, min((c + 7) // 8 * 8, m))
+
+
+def probed_owner_cap(observed_max: int, m: int, k: int,
+                     slack: float = PROBED_OWNER_SLACK) -> int:
+    """Cap from an OBSERVED per-owner request maximum (8-aligned,
+    slack x observed + a small absolute floor for burst headroom,
+    never above the static fallback). Binomial concentration makes the
+    realized per-owner counts fluctuate by ~sqrt(H/K) around H/K, so
+    ~1.05x the observed max across a few probe batches holds with
+    demotion as the loud backstop (metered as exchange_overflow)."""
+    c = int(observed_max * slack) + 32
+    return max(8, min((c + 7) // 8 * 8, owner_cap(m, k)))
+
+
+def owner_counts(ids: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(k,) int32 per-owner request counts for owner = id % k (valid ids
+    only). The probe primitive behind probed_owner_cap; jit-safe."""
+    valid = ids >= 0
+    owner = jnp.where(valid, ids, 0) % k
+    return jnp.sum(
+        ((owner[:, None] == jnp.arange(k, dtype=jnp.int32)[None, :])
+         & valid[:, None]).astype(jnp.int32), axis=0)
 
 
 def shard_rows(table: np.ndarray, k: int) -> np.ndarray:
@@ -134,11 +166,7 @@ def owner_overflow(ids: jnp.ndarray, k: int, cap: int | None = None
     overflow without changing the exchange's return signature."""
     if cap is None:
         cap = owner_cap(ids.shape[0], k)
-    valid = ids >= 0
-    owner = jnp.where(valid, ids, 0) % k
-    counts = jnp.sum(
-        ((owner[:, None] == jnp.arange(k, dtype=jnp.int32)[None, :])
-         & valid[:, None]).astype(jnp.int32), axis=0)
+    counts = owner_counts(ids, k)
     return jnp.sum(jnp.maximum(counts - cap, 0)).astype(jnp.int32)
 
 

@@ -151,10 +151,183 @@ def partitioned_sample_hop(shard: HostShard, key: jax.Array,
 def partitioned_row_fetch(shard: HostShard, ids: jnp.ndarray,
                           axis: str) -> jnp.ndarray:
     """Halo feature fetch: rows of global `ids` from partition-owned
-    feature shards (zeros for -1). Inside shard_map."""
+    feature shards (zeros for -1). Inside shard_map.
+
+    v1 (psum) exchange: every host's full request set rides the
+    all_gather + reduce-scatter, K x the requested bytes. Kept as the
+    cap-free oracle/fallback; the default driver path is the EXACT
+    per-distance exchange below (partitioned_row_fetch_exact)."""
     all_ids = jax.lax.all_gather(ids, axis)                # (K, M)
     flat = all_ids.reshape(-1)
     mine, row = _local_lookup(shard.owned_ids, flat)
     rows = jnp.take(shard.feat_rows, row, axis=0)
     rows = rows * mine[:, None].astype(rows.dtype)
     return jax.lax.psum_scatter(rows, axis, scatter_dimension=0, tiled=True)
+
+
+# ---------------------------------------------------------------------------
+# Exact halo exchange (VERDICT r4 #2): per-distance ppermute rounds with
+# NON-UNIFORM caps.
+#
+# Partition-owned requests are genuinely skewed per owner (unlike the
+# round-robin striped cache), so a single uniform per-owner cap must be
+# sized to the worst (requester, owner) pair. But the skew is STRUCTURED:
+# requester i's requests to owner j are bounded by the partition's
+# boundary sets, and the realized per-batch counts concentrate — so a cap
+# PER RING DISTANCE r (cap_r = slack x the observed max over requesters i
+# of |requests i -> (i+r) mod K|), probed offline from the partition
+# vector + a few batches, makes the halo exchange move ~the requested
+# bytes. Each distance is one ppermute round (requests i -> i+r, rows
+# back), so the rounds' buffers can have DIFFERENT sizes — the ragged
+# send layout an all_to_all cannot express. Self-requests (r = 0) are
+# served locally and never touch the network (the psum path ships them
+# K times).
+#
+# Over-cap requests are dropped LOUDLY: zero rows / -1 draws plus a
+# returned overflow count the driver meters and surfaces (the frontier-
+# cap zero-overflow contract; there is no host fallback on this path).
+# Reference bar: P2P cache reads move exactly the requested bytes
+# (src/Kernels.cu:695-699) — here within the probe slack.
+# ---------------------------------------------------------------------------
+
+
+def _dist_grouping(ids: jnp.ndarray, dist: jnp.ndarray, k: int,
+                   extra: jnp.ndarray | None = None):
+    """Group requests by ring distance: returns (pos (M,) exclusive rank
+    within its distance group, counts (k,), s_ids (M,) ids sorted by
+    distance[, s_extra sorted alongside]). Sort-based (TPU scatters cost
+    ~2x a sort per key); invalid requests carry dist == k and sort last.
+    """
+    oh = (dist[:, None] == jnp.arange(k, dtype=jnp.int32)[None, :])
+    ohc = oh.astype(jnp.int32)
+    csum = jnp.cumsum(ohc, axis=0)
+    pos = jnp.take_along_axis(csum - ohc,
+                              jnp.minimum(dist, k - 1)[:, None],
+                              axis=1)[:, 0]
+    counts = csum[-1]
+    ops = [dist, ids] if extra is None else [dist, ids, extra]
+    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    if extra is None:
+        return pos, counts, sorted_ops[1], None
+    return pos, counts, sorted_ops[1], sorted_ops[2]
+
+
+def _round_send(s_vals: jnp.ndarray, start: jnp.ndarray,
+                counts: jnp.ndarray, r: int, cap: int, fill):
+    """Slice distance-r's group out of the sorted array into a (cap,)
+    send buffer (``fill`` on empty slots)."""
+    m = s_vals.shape[0]
+    idx = jnp.clip(start[r] + jnp.arange(cap, dtype=jnp.int32), 0,
+                   max(m - 1, 0))
+    filled = jnp.arange(cap, dtype=jnp.int32) < counts[r]
+    return jnp.where(filled, s_vals[idx], fill)
+
+
+def partitioned_row_fetch_exact(shard: HostShard, owner_of: jnp.ndarray,
+                                ids: jnp.ndarray, axis: str,
+                                dist_caps: Tuple[int, ...]):
+    """Exact halo feature fetch: each requested row crosses the network
+    once, in per-distance ppermute rounds (see module comment above).
+
+    owner_of: (N,) int8/int32 partition id per global node (replicated).
+    dist_caps: static per-distance caps, len K-1 (dist_caps[r-1] bounds
+    requests at ring distance r). Returns ((M, D) rows — zeros for
+    padding and over-cap requests, overflow () int32).
+    """
+    k = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    valid = ids >= 0
+    safe = jnp.where(valid, ids, 0)
+    owner = jnp.take(owner_of, safe).astype(jnp.int32)
+    dist = jnp.where(valid, (owner - me) % k, k)
+
+    # self-served rows (never cross the network)
+    mine, row = _local_lookup(shard.owned_ids,
+                              jnp.where(dist == 0, ids, -1))
+    out = jnp.take(shard.feat_rows, row, axis=0)
+    out = out * mine[:, None].astype(out.dtype)
+    if k == 1:
+        return out, jnp.zeros((), jnp.int32)
+
+    pos, counts, s_ids, _ = _dist_grouping(ids, dist, k)
+    start = jnp.cumsum(counts) - counts
+    overflow = jnp.zeros((), jnp.int32)
+    for r in range(1, k):
+        cap = int(dist_caps[r - 1])
+        send = _round_send(s_ids, start, counts, r, cap, -1)
+        overflow = overflow + jnp.maximum(counts[r] - cap, 0)
+        fwd = [(i, (i + r) % k) for i in range(k)]
+        req = jax.lax.ppermute(send, axis, fwd)
+        rmine, rrow = _local_lookup(shard.owned_ids, req)
+        rows = jnp.take(shard.feat_rows, rrow, axis=0)
+        rows = rows * rmine[:, None].astype(rows.dtype)
+        bwd = [(i, (i - r) % k) for i in range(k)]
+        resp = jax.lax.ppermute(rows, axis, bwd)
+        sel = (dist == r) & (pos < cap)
+        got = jnp.take(resp, jnp.clip(pos, 0, cap - 1), axis=0)
+        out = out + got * sel[:, None].astype(out.dtype)
+    return out, overflow
+
+
+def partitioned_sample_hop_exact(shard: HostShard, owner_of: jnp.ndarray,
+                                 key: jax.Array, frontier: jnp.ndarray,
+                                 fanout: int, axis: str,
+                                 dist_caps: Tuple[int, ...]):
+    """Exact remote neighbor expansion: the per-distance twin of
+    partitioned_sample_hop. Draws are BIT-IDENTICAL to the psum version
+    (each request's global grid index rides along as payload, so the
+    owner draws u[(requester, slot)] from the same (K*M, fanout) grid).
+    Returns ((M, fanout) neighbor ids with -1 sentinels, overflow ()
+    int32 — over-cap requests come back -1 and are counted)."""
+    k = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    m = frontier.shape[0]
+    valid = frontier >= 0
+    safe = jnp.where(valid, frontier, 0)
+    owner = jnp.take(owner_of, safe).astype(jnp.int32)
+    dist = jnp.where(valid, (owner - me) % k, k)
+
+    # same u grid as the psum exchange: request (c, j) -> u[c*m + j]
+    u = jax.random.uniform(key, (k * m, fanout), dtype=jnp.float32)
+    gidx = me * m + jnp.arange(m, dtype=jnp.int32)
+
+    def draw(req_ids, req_gidx):
+        """Draw fanout samples for requests this shard owns."""
+        rmine, rrow = _local_lookup(shard.owned_ids, req_ids)
+        st = shard.sub_indptr[rrow]
+        deg = jnp.where(rmine, shard.sub_indptr[rrow + 1] - st, 0)
+        ur = jnp.take(u, jnp.clip(req_gidx, 0, k * m - 1), axis=0)
+        off = jnp.minimum((ur * deg[:, None].astype(jnp.float32))
+                          .astype(jnp.int32),
+                          jnp.maximum(deg[:, None] - 1, 0))
+        addr = jnp.clip(st[:, None] + off, 0,
+                        shard.sub_indices.shape[0] - 1)
+        nbr = shard.sub_indices[addr]
+        slot = jax.lax.broadcasted_iota(jnp.int32, nbr.shape, 1)
+        ok = rmine[:, None] & (slot < deg[:, None]) & (deg[:, None] > 0)
+        return jnp.where(ok, nbr, -1)
+
+    # self-served draws
+    out = draw(jnp.where(dist == 0, frontier, -1), gidx)
+    if k == 1:
+        return out, jnp.zeros((), jnp.int32)
+
+    pos, counts, s_ids, s_gidx = _dist_grouping(frontier, dist, k,
+                                                extra=gidx)
+    start = jnp.cumsum(counts) - counts
+    overflow = jnp.zeros((), jnp.int32)
+    for r in range(1, k):
+        cap = int(dist_caps[r - 1])
+        send = jnp.stack(
+            [_round_send(s_ids, start, counts, r, cap, -1),
+             _round_send(s_gidx, start, counts, r, cap, 0)], axis=1)
+        overflow = overflow + jnp.maximum(counts[r] - cap, 0)
+        fwd = [(i, (i + r) % k) for i in range(k)]
+        req = jax.lax.ppermute(send, axis, fwd)         # (cap, 2)
+        draws = draw(req[:, 0], req[:, 1])              # (cap, fanout)
+        bwd = [(i, (i - r) % k) for i in range(k)]
+        resp = jax.lax.ppermute(draws, axis, bwd)
+        sel = (dist == r) & (pos < cap)
+        got = jnp.take(resp, jnp.clip(pos, 0, cap - 1), axis=0)
+        out = jnp.where(sel[:, None], got, out)
+    return out, overflow

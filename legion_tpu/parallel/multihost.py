@@ -21,7 +21,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from legion_tpu.config import Config
 from legion_tpu.parallel.halo import (
-    HostShard, partitioned_row_fetch, partitioned_sample_hop)
+    HostShard, partitioned_row_fetch, partitioned_row_fetch_exact,
+    partitioned_sample_hop, partitioned_sample_hop_exact)
 from legion_tpu.sampling.block import SampledBatch
 from legion_tpu.sampling.sampler import grow_frontier
 from legion_tpu.train.loop import lp_logsigmoid_loss, masked_softmax_ce
@@ -33,41 +34,71 @@ AXIS = "data"
 def sample_batch_partitioned(shard: HostShard, key: jax.Array,
                              seeds: jnp.ndarray, num_seeds: jnp.ndarray,
                              labels: jnp.ndarray, fanouts: Sequence[int],
-                             caps: Sequence[int]) -> SampledBatch:
+                             caps: Sequence[int], owner_of=None,
+                             dist_caps=None):
     """Multi-hop sampling where each hop's neighbor expansion is served
     by the partition owners (inside shard_map). Dedup/renumbering stays
     host-local — frontier numbering is per-host, exactly as each
-    reference GPU runner numbers its own batch."""
+    reference GPU runner numbers its own batch.
+
+    dist_caps set => EXACT per-distance exchange (draws bit-identical to
+    the psum path; over-cap requests return -1 and are counted). Returns
+    (batch, overflow)."""
     caps = tuple(caps)
     frontier = jnp.full((caps[0],), -1, jnp.int32).at[: seeds.shape[0]].set(seeds)
     num = num_seeds.astype(jnp.int32)
     blocks = []
+    overflow = jnp.zeros((), jnp.int32)
     for k, fanout in enumerate(fanouts):
         key, sub = jax.random.split(key)
-        nbrs = partitioned_sample_hop(shard, sub, frontier, fanout, AXIS)
+        if dist_caps is not None:
+            nbrs, ov = partitioned_sample_hop_exact(
+                shard, owner_of, sub, frontier, fanout, AXIS, dist_caps)
+            overflow = overflow + ov
+        else:
+            nbrs = partitioned_sample_hop(shard, sub, frontier, fanout,
+                                          AXIS)
         frontier, num, blk = grow_frontier(frontier, num, nbrs, caps[k + 1])
         blocks.append(blk)
     return SampledBatch(seeds=seeds, labels=labels,
                         num_seeds=num_seeds.astype(jnp.int32),
                         frontier=frontier, num_frontier=num,
-                        blocks=tuple(blocks))
+                        blocks=tuple(blocks)), overflow
 
 
-def _partitioned_step_fns(cfg: Config, model, caps):
-    """Pure per-shard step functions (inside shard_map over AXIS)."""
+def _partitioned_step_fns(cfg: Config, model, caps, dist_caps=None):
+    """Pure per-shard step functions (inside shard_map over AXIS).
+
+    dist_caps: static per-distance halo caps (len K-1) => the exact
+    ppermute exchange serves both neighbor expansion and the feature
+    fetch; None => the v1 psum exchange (cap-free oracle). The step
+    signature is identical either way — ``owner`` (the replicated (N,)
+    partition-id table) is simply unused by the psum path."""
     fanouts = tuple(cfg.sampler.fanouts)
     is_lp = cfg.model.arch == "lp_sage"
 
-    def step(state: TrainState, owned, sp, si, fr, seeds, num_seeds, labels):
+    def sample_and_fetch(shard, owner_t, key, seeds, ns, labels):
+        batch, ov = sample_batch_partitioned(
+            shard, key, seeds, ns, labels, fanouts, caps,
+            owner_of=owner_t, dist_caps=dist_caps)
+        if dist_caps is not None:
+            x, fov = partitioned_row_fetch_exact(
+                shard, owner_t, batch.frontier, AXIS, dist_caps)
+            ov = ov + fov
+        else:
+            x = partitioned_row_fetch(shard, batch.frontier, AXIS)
+        return batch, x, ov
+
+    def step(state: TrainState, owned, sp, si, fr, owner_t, seeds,
+             num_seeds, labels):
         shard = HostShard(owned_ids=owned[0], sub_indptr=sp[0],
                           sub_indices=si[0], feat_rows=fr[0])
         ns = num_seeds[0]  # (K,)-sharded: this host's valid seed count
         key = jax.random.fold_in(state.rng, state.step)
         key = jax.random.fold_in(key, jax.lax.axis_index(AXIS))
         skey, dkey = jax.random.split(key)
-        batch = sample_batch_partitioned(shard, skey, seeds, ns,
-                                         labels, fanouts, caps)
-        x = partitioned_row_fetch(shard, batch.frontier, AXIS)
+        batch, x, halo_ov = sample_and_fetch(shard, owner_t, skey, seeds,
+                                             ns, labels)
 
         def loss_fn(params):
             blocks = tuple(reversed(batch.blocks))
@@ -86,16 +117,21 @@ def _partitioned_step_fns(cfg: Config, model, caps):
         loss = jax.lax.pmean(loss, AXIS)
         state = state.apply_gradients(grads)
         edges = jax.lax.psum(sum(b.num_edges() for b in batch.blocks), AXIS)
-        return state, {"loss": loss, "edges": edges}
+        # over-cap halo requests (zero rows / -1 draws) — the exact
+        # exchange's loud-failure contract: persistent nonzero means
+        # the probed dist_caps must be loosened
+        halo_ov = jax.lax.psum(halo_ov, AXIS)
+        return state, {"loss": loss, "edges": edges,
+                       "halo_overflow": halo_ov}
 
-    def eval_step(params, owned, sp, si, fr, seeds, ns, labels, key):
+    def eval_step(params, owned, sp, si, fr, owner_t, seeds, ns, labels,
+                  key):
         # ns: () this host's valid seed count for the step
         shard = HostShard(owned_ids=owned[0], sub_indptr=sp[0],
                           sub_indices=si[0], feat_rows=fr[0])
         key = jax.random.fold_in(key, jax.lax.axis_index(AXIS))
-        batch = sample_batch_partitioned(shard, key, seeds, ns,
-                                         labels, fanouts, caps)
-        x = partitioned_row_fetch(shard, batch.frontier, AXIS)
+        batch, x, _ = sample_and_fetch(shard, owner_t, key, seeds, ns,
+                                       labels)
         out = model.apply({"params": params},
                           tuple(reversed(batch.blocks)), x,
                           deterministic=True)
@@ -112,26 +148,27 @@ def _partitioned_step_fns(cfg: Config, model, caps):
         return (jax.lax.psum(a.astype(jnp.float32), AXIS),
                 jax.lax.psum(b.astype(jnp.float32), AXIS))
 
-    def epoch_scan(state, owned, sp, si, fr, seeds_epoch, num_seeds,
-                   labels_epoch):
+    def epoch_scan(state, owned, sp, si, fr, owner_t, seeds_epoch,
+                   num_seeds, labels_epoch):
         """Whole partitioned epoch as one program (steps on the leading
         axis of seeds/labels)."""
         def body(st, xs):
             seeds, labels = xs
-            st, m = step(st, owned, sp, si, fr, seeds, num_seeds, labels)
-            return st, (m["loss"], m["edges"])
+            st, m = step(st, owned, sp, si, fr, owner_t, seeds,
+                         num_seeds, labels)
+            return st, (m["loss"], m["edges"], m["halo_overflow"])
 
-        state, (losses, edges) = jax.lax.scan(
+        state, (losses, edges, ov) = jax.lax.scan(
             body, state, (seeds_epoch, labels_epoch))
-        return state, losses, jnp.sum(edges)
+        return state, losses, jnp.sum(edges), jnp.sum(ov)
 
-    def eval_scan(params, owned, sp, si, fr, seeds_epoch, counts,
-                  labels_epoch, key):
+    def eval_scan(params, owned, sp, si, fr, owner_t, seeds_epoch,
+                  counts, labels_epoch, key):
         def body(carry, xs):
             a_s, b_s = carry
             seeds, nb, labels, k = xs
-            a, b = eval_step(params, owned, sp, si, fr, seeds, nb,
-                             labels, k)
+            a, b = eval_step(params, owned, sp, si, fr, owner_t, seeds,
+                             nb, labels, k)
             return (a_s + a, b_s + b), None
 
         steps = seeds_epoch.shape[0]
@@ -144,18 +181,81 @@ def _partitioned_step_fns(cfg: Config, model, caps):
     return step, eval_step, epoch_scan, eval_scan
 
 
-def make_partitioned_train_step(cfg: Config, model, caps, mesh: Mesh):
+def owner_table(partition: np.ndarray, mesh: Mesh) -> jnp.ndarray:
+    """Replicated (N,) int8 partition-id table — the requester-side
+    owner lookup of the exact halo exchange (the reference keeps a dense
+    (N,) position map per GPU for the same reason, src/Server.cu:222;
+    int8 bounds it to N bytes per chip for K <= 127)."""
+    assert int(partition.max(initial=0)) < 127
+    return jax.device_put(jnp.asarray(partition.astype(np.int8)),
+                          NamedSharding(mesh, P()))
+
+
+def probe_dist_caps(indptr, indices, partition: np.ndarray, shards,
+                    fanouts, caps, k: int, batch: int,
+                    slack: float = 1.3, probes: int = 2,
+                    seed: int = 0) -> Tuple[int, ...]:
+    """Observed per-ring-distance request maxima for the exact halo
+    exchange, probed host-side from the partition vector + a few
+    re-grown frontiers (VERDICT r4 #2: per-owner bounds are a static
+    function of the partition's boundary sets; realized per-batch counts
+    concentrate well below them, so probing a few batches and capping at
+    ``slack`` x the max is the frontier-cap discipline applied to the
+    halo). Engine choice cannot change frontier composition statistics,
+    so the host sampler stands in for the mesh program.
+
+    Returns len K-1 static caps (distance r bound at index r-1),
+    8-aligned, clipped to the frontier cap."""
+    from legion_tpu import runtime
+    indptr = np.ascontiguousarray(np.asarray(indptr), np.int64)
+    indices = np.ascontiguousarray(np.asarray(indices), np.int32)
+    rng = np.random.default_rng(seed * 7907 + 3)
+    dmax = np.zeros(k, np.int64)
+    for bi in range(probes):
+        for i in range(k):
+            ids = np.asarray(shards[i])
+            if not len(ids):
+                continue
+            frontier = rng.permutation(ids)[:batch].astype(np.int64)
+            for hop, f in enumerate(fanouts):
+                dist = (partition[frontier] - i) % k
+                dmax = np.maximum(dmax, np.bincount(dist, minlength=k))
+                nbrs = runtime.sample_neighbors(
+                    indptr, indices, frontier.astype(np.int32), f,
+                    seed=1300 + bi * 997 + i * 31 + hop)
+                grown = np.unique(np.concatenate(
+                    [frontier, nbrs[nbrs >= 0].astype(np.int64)]))
+                if len(grown) > caps[hop + 1]:
+                    grown = grown[rng.permutation(len(grown))
+                                  [: caps[hop + 1]]]
+                frontier = grown
+            dist = (partition[frontier] - i) % k
+            dmax = np.maximum(dmax, np.bincount(dist, minlength=k))
+    return tuple(
+        max(8, min((int(dmax[r] * slack) + 32 + 7) // 8 * 8,
+                   int(caps[-1])))
+        for r in range(1, k))
+
+
+def make_partitioned_train_step(cfg: Config, model, caps, mesh: Mesh,
+                                dist_caps=None):
     """Returns (jitted_step, put_shards).
 
     jitted_step(state, owned, sub_indptr, sub_indices, feat_rows,
-                seeds, num_seeds, labels) -> (state, metrics)
-    with the shard arrays stacked (K, ...) and sharded over `data`.
+                owner, seeds, num_seeds, labels) -> (state, metrics)
+    with the shard arrays stacked (K, ...) and sharded over `data` and
+    ``owner`` the replicated (N,) partition table (owner_table; any
+    1-element placeholder works for the psum path).
+
+    dist_caps: per-distance halo caps (probe_dist_caps) => exact
+    ppermute exchange; None => v1 psum exchange.
     """
-    step, *_ = _partitioned_step_fns(cfg, model, caps)
+    step, *_ = _partitioned_step_fns(cfg, model, caps,
+                                     dist_caps=dist_caps)
 
     # num_seeds: (K,) int32, one valid-count per host (short shards pad
     # their seed batch with -1 — the Coordinate lockstep rule).
-    specs = (P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+    specs = (P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(),
              P(AXIS), P(AXIS), P(AXIS))
     jitted = jax.jit(
         jax.shard_map(step, mesh=mesh, in_specs=specs,
@@ -167,32 +267,37 @@ def make_partitioned_train_step(cfg: Config, model, caps, mesh: Mesh):
         parts = HostShard.build(indptr, indices, features, partition, k)
         stacked = [np.stack([p[i] for p in parts]) for i in range(4)]
         sh = NamedSharding(mesh, P(AXIS))
-        return tuple(jax.device_put(jnp.asarray(a), sh) for a in stacked)
+        return tuple(jax.device_put(jnp.asarray(a), sh)
+                     for a in stacked) + (owner_table(partition, mesh),)
 
     return jitted, put_shards
 
 
 def make_partitioned_epoch_fns(cfg: Config, model, caps, mesh: Mesh,
-                               eval_caps=None):
+                               eval_caps=None, dist_caps=None):
     """Whole-epoch partitioned programs: (jit_epoch, jit_eval_scan).
 
-    jit_epoch(state, owned, sp, si, fr, seeds_epoch, num_seeds,
-              labels_epoch) -> (state, losses, edges)
+    jit_epoch(state, owned, sp, si, fr, owner, seeds_epoch, num_seeds,
+              labels_epoch) -> (state, losses, edges, halo_overflow)
       seeds/labels: (steps, K*batch) sharded on the batch dim;
       num_seeds: (K,) per-host valid counts (full batches: drop-last).
     jit_eval_scan(params, ..., seeds, counts, labels, key) ->
       (correct, total); counts: (steps, K) per-host per-step counts.
+    dist_caps: see make_partitioned_train_step.
     """
-    _, _, epoch_scan, _ = _partitioned_step_fns(cfg, model, caps)
+    _, _, epoch_scan, _ = _partitioned_step_fns(cfg, model, caps,
+                                                dist_caps=dist_caps)
     _, _, _, eval_scan = _partitioned_step_fns(cfg, model,
-                                               eval_caps or caps)
+                                               eval_caps or caps,
+                                               dist_caps=dist_caps)
     ax = P(AXIS)
-    ep_specs = (P(), ax, ax, ax, ax, P(None, AXIS), ax, P(None, AXIS))
+    ep_specs = (P(), ax, ax, ax, ax, P(), P(None, AXIS), ax,
+                P(None, AXIS))
     jit_epoch = jax.jit(
         jax.shard_map(epoch_scan, mesh=mesh, in_specs=ep_specs,
-                      out_specs=(P(), P(), P())),
+                      out_specs=(P(), P(), P(), P())),
         donate_argnums=(0,))
-    ev_specs = (P(), ax, ax, ax, ax, P(None, AXIS), P(None, AXIS),
+    ev_specs = (P(), ax, ax, ax, ax, P(), P(None, AXIS), P(None, AXIS),
                 P(None, AXIS), P())
     jit_eval = jax.jit(
         jax.shard_map(eval_scan, mesh=mesh, in_specs=ev_specs,

@@ -228,16 +228,11 @@ def make_step_fns(cfg: Config, model, caps,
             st, m = train_step(st, graph, feats, seeds, nb, labels)
             return st, (m["loss"], m["edges"], m["cap_overflow"])
 
-        # unroll: XLA schedules ACROSS step boundaries inside an
-        # unrolled group — step i+1's sampling (sorts, VPU select) has
-        # no dependence on step i's parameter update until its forward,
-        # so it overlaps step i's DMA-bound gather/scatter phases (the
-        # single-program analog of the reference's two-stream
-        # sample/train overlap, src/Server.cu:310-316). Measured on
-        # chip at bench shapes: unroll 1 -> 2 -> 4 = 7.82 -> 7.90 ->
-        # 7.92e7 edges/s; compile time grows with the unroll factor.
+        # unroll: see TrainConfig.scan_unroll (the config is the source
+        # of truth; the env var is an A/B override only).
         import os
-        unroll = int(os.environ.get("LEGION_SCAN_UNROLL", "4"))
+        unroll = int(os.environ.get("LEGION_SCAN_UNROLL",
+                                    cfg.train.scan_unroll))
         state, (losses, edges, overflow) = jax.lax.scan(
             body, state, (seeds_epoch, labels_epoch),
             unroll=min(unroll, seeds_epoch.shape[0]))

@@ -29,7 +29,8 @@ from legion_tpu.data.partition import edge_cut_fraction, partition_graph
 from legion_tpu.models import build_model
 from legion_tpu.parallel.launch import (
     maybe_initialize_distributed, put_shards_distributed)
-from legion_tpu.parallel.multihost import AXIS, make_partitioned_epoch_fns
+from legion_tpu.parallel.multihost import (
+    AXIS, make_partitioned_epoch_fns, owner_table, probe_dist_caps)
 from legion_tpu.sampling.block import Block, frontier_caps
 from legion_tpu.sampling.seeds import (
     interleave_shards,
@@ -99,6 +100,20 @@ def run_partitioned_training(cfg: Config, data: GraphData, mesh=None,
     caps = frontier_caps(b, fanouts)
     eval_caps = frontier_caps(cfg.sampler.eval_batch_size, fanouts)
 
+    # exact halo exchange: probe per-distance request maxima and size
+    # the non-uniform ppermute caps (VERDICT r4 #2); over-cap requests
+    # fail loudly via the halo_overflow meter below
+    owner = owner_table(part, mesh)
+    dist_caps = None
+    if cfg.parallel.halo_exchange == "exact":
+        dist_caps = probe_dist_caps(
+            data.indptr, data.indices, part, shards, fanouts, caps, k,
+            b, slack=cfg.parallel.halo_cap_slack,
+            probes=cfg.parallel.halo_probe_batches, seed=cfg.train.seed)
+        log(f"halo exact exchange: per-distance caps {dist_caps} "
+            f"(frontier cap {caps[-1]}, slack "
+            f"{cfg.parallel.halo_cap_slack})")
+
     # ---- model/state (shape-only init: no graph access) -------------------
     model = build_model(cfg.model.arch, cfg.model.hidden_dim, num_classes,
                         cfg.model.num_layers, cfg.model.dropout,
@@ -120,8 +135,8 @@ def run_partitioned_training(cfg: Config, data: GraphData, mesh=None,
     mat = NamedSharding(mesh, P(None, AXIS))
     state = jax.device_put(state, rep)
 
-    jit_epoch, jit_eval = make_partitioned_epoch_fns(cfg, model, caps,
-                                                     mesh, eval_caps)
+    jit_epoch, jit_eval = make_partitioned_epoch_fns(
+        cfg, model, caps, mesh, eval_caps, dist_caps=dist_caps)
     labels_all = np.asarray(data.labels)
     nb = jax.device_put(np.full((k,), b, np.int32), row)
 
@@ -139,7 +154,7 @@ def run_partitioned_training(cfg: Config, data: GraphData, mesh=None,
                          labels_all[np.clip(seeds_e, 0, None)],
                          -1).astype(np.int32)
         c, n = jit_eval(
-            state.params, owned, sp, si, fr,
+            state.params, owned, sp, si, fr, owner,
             jax.device_put(interleave_shards(seeds_e), mat),
             jax.device_put(np.ascontiguousarray(counts_e.swapaxes(0, 1)),
                            mat),
@@ -158,16 +173,22 @@ def run_partitioned_training(cfg: Config, data: GraphData, mesh=None,
         state = jax.device_put(
             state.replace(epoch=jnp.full((), epoch, jnp.int32)), rep)
         t0 = time.perf_counter()
-        state, losses, edges = jit_epoch(
-            state, owned, sp, si, fr,
+        state, losses, edges, halo_ov = jit_epoch(
+            state, owned, sp, si, fr, owner,
             jax.device_put(interleave_shards(s), mat), nb,
             jax.device_put(interleave_shards(lab), mat))
         losses = jax.device_get(losses)
         dt = time.perf_counter() - t0
+        halo_ov = int(jax.device_get(halo_ov))
+        if halo_ov > 0:
+            from legion_tpu.utils.logging import log_metrics
+            log_metrics({"event": "halo_overflow", "epoch": epoch,
+                         "dropped_requests": halo_ov,
+                         "hint": "raise parallel.halo_cap_slack"})
         rec = {"epoch": epoch, "loss": float(losses[-1]),
                "mean_loss": float(losses.mean()), "seconds": dt,
                "edges_per_s": float(jax.device_get(edges)) / dt,
-               "edge_cut": cut}
+               "edge_cut": cut, "halo_overflow": halo_ov}
         rec["valid"] = eval_set(np.asarray(data.valid_ids))
         history.append(rec)
         from legion_tpu.utils.logging import eval_labels

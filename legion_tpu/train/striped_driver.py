@@ -99,7 +99,14 @@ def run_striped_training(cfg: Config, data: GraphData, mesh=None,
     caps = observed_caps(hot.max_per_hop, cfg.sampler.observed_cap_slack)
 
     # staging sized from an unbiased fresh-batch miss probe (see
-    # cached_driver for why the presample estimate biases to zero)
+    # cached_driver for why the presample estimate biases to zero);
+    # the SAME probe observes per-owner hit-request maxima, sizing the
+    # exact exchange's owner cap at ~1.05x observed instead of the
+    # static 2x-of-M/K fallback (VERDICT r4 #1: takes the exchange to
+    # ~the requested rows, the reference's exactly-requested-bytes P2P
+    # bar, src/Kernels.cu:695-699; over-cap hits still demote loudly).
+    from legion_tpu.parallel.feature_exchange import (
+        owner_counts, probed_owner_cap)
     cached_ids = np.asarray(cost.feat_order[:cost.feat_capacity])
     hot_probe = jnp.asarray(np.sort(cached_ids.astype(np.int32)))
 
@@ -107,29 +114,34 @@ def run_striped_training(cfg: Config, data: GraphData, mesh=None,
         batch = sample_batch(key, g, seeds_b, jnp.full((), b, jnp.int32),
                              labels_b, fanouts, tuple(caps),
                              dedup_last=True)
-        return FeatureCache.plan_ids(hot_sorted, batch.frontier,
-                                     128).num_miss
+        plan = FeatureCache.plan_ids(hot_sorted, batch.frontier, 128)
+        req = jnp.where(plan.hit, plan.slot, -1)
+        return plan.num_miss, owner_counts(req, max(kg, 1))
 
     jprobe = jax.jit(_probe)
     prng = np.random.default_rng(cfg.train.seed * 31 + 7)
-    probe_miss = 0
+    probe_miss = owner_max = 0
     for i in range(2):
         ids_all = shards[i % len(shards)]
         sb = prng.permutation(ids_all)[:b].astype(np.int32)
         if len(sb) < b:
             sb = np.pad(sb, (0, b - len(sb)), constant_values=-1)
-        probe_miss = max(probe_miss, int(jprobe(
-            jax.random.PRNGKey(9000 + i), graph, hot_probe,
-            jnp.asarray(sb), jnp.zeros((b,), jnp.int32))))
+        nm, oc = jprobe(jax.random.PRNGKey(9000 + i), graph, hot_probe,
+                        jnp.asarray(sb), jnp.zeros((b,), jnp.int32))
+        probe_miss = max(probe_miss, int(nm))
+        owner_max = max(owner_max, int(np.asarray(oc).max()))
     miss_cap = int(min(caps[-1],
                        _round128(probe_miss * 1.5 + caps[-1] / 16 + 1024)))
+    ocap = (probed_owner_cap(owner_max, caps[-1], kg) if kg > 1 else None)
     log(f"staging: probe max {probe_miss} misses/step, miss_cap "
-        f"{miss_cap}/chip (frontier cap {caps[-1]})")
+        f"{miss_cap}/chip (frontier cap {caps[-1]}); owner cap "
+        f"{ocap} (probe max {owner_max}/owner, Kg={kg})")
 
     host_feats = np.asarray(data.features)
     cache = StripedFeatureCache.build(host_feats, cost.feat_order,
                                       cost.feat_capacity, miss_cap, mesh,
-                                      dtype=cache_dtype)
+                                      dtype=cache_dtype,
+                                      owner_cap_rows=ocap)
 
     # ---- model/state -------------------------------------------------------
     model = build_model(cfg.model.arch, cfg.model.hidden_dim, num_classes,
@@ -197,7 +209,7 @@ def run_striped_training(cfg: Config, data: GraphData, mesh=None,
             log(f"staging overflow -> growing miss_cap to {miss_cap}")
             cache = StripedFeatureCache.build(
                 host_feats, cost.feat_order, cost.feat_capacity,
-                miss_cap, mesh, dtype=cache_dtype)
+                miss_cap, mesh, dtype=cache_dtype, owner_cap_rows=ocap)
             tr = StripedCachedTrainer(
                 cfg, model, caps, graph, cache, mesh,
                 host_stage=lambda ids: gather_rows(host_feats, ids)

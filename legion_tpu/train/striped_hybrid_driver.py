@@ -41,6 +41,55 @@ from legion_tpu.train.train_state import (
     create_train_state, restore_checkpoint, save_checkpoint)
 
 
+def _probe_owner_caps(indptr, indices, seeds_batches, fanouts, caps,
+                      hot_topo, hot_feat, kg, seed=0):
+    """Observed per-owner request maxima for the striped exchanges
+    (VERDICT r4 #1), measured host-side: frontiers are re-grown with the
+    host sampler only (engine choice does not change frontier
+    composition statistics), then each hop's topo-hit ranks and the
+    final frontier's feature-hit ranks are histogrammed by owner chip
+    (owner = rank % Kg). Returns (per-hop topo caps, feature cap) at
+    ~1.05x the observed maxima — demotion to the host path remains the
+    loud backstop for bursts beyond the probe."""
+    from legion_tpu import runtime
+    from legion_tpu.parallel.feature_exchange import probed_owner_cap
+    rng = np.random.default_rng(seed * 9176 + 13)
+    h = len(fanouts)
+    tmax = np.zeros(h, np.int64)
+    fmax = 0
+
+    def hit_ranks(hot_sorted, ids):
+        if len(hot_sorted) == 0 or len(ids) == 0:
+            return np.empty(0, np.int64)
+        pos = np.clip(np.searchsorted(hot_sorted, ids), 0,
+                      len(hot_sorted) - 1)
+        return pos[hot_sorted[pos] == ids]
+
+    def omax(ranks):
+        if not len(ranks):
+            return 0
+        return int(np.bincount(ranks % kg, minlength=kg).max())
+
+    for bi, seeds in enumerate(seeds_batches):
+        frontier = np.asarray(seeds)[np.asarray(seeds) >= 0].astype(
+            np.int64)
+        for k, f in enumerate(fanouts):
+            tmax[k] = max(tmax[k], omax(hit_ranks(hot_topo, frontier)))
+            nbrs = runtime.sample_neighbors(
+                indptr, indices, frontier.astype(np.int32), f,
+                seed=7700 + bi * 131 + k)
+            grown = np.unique(np.concatenate(
+                [frontier, nbrs[nbrs >= 0].astype(np.int64)]))
+            if len(grown) > caps[k + 1]:
+                grown = grown[rng.permutation(len(grown))[: caps[k + 1]]]
+            frontier = grown
+        fmax = max(fmax, omax(hit_ranks(hot_feat, frontier)))
+
+    tcaps = tuple(probed_owner_cap(int(tmax[k]), caps[k], kg)
+                  for k in range(h))
+    return tcaps, probed_owner_cap(int(fmax), caps[-1], kg)
+
+
 def run_striped_hybrid_training(cfg: Config, data: GraphData, mesh=None,
                                 log=print) -> Dict:
     from legion_tpu.parallel.mesh import make_mesh
@@ -89,9 +138,26 @@ def run_striped_hybrid_training(cfg: Config, data: GraphData, mesh=None,
                                   cost.topo_capacity, mesh)
     miss_cap = int(min(caps[-1], (caps[-1] // 16 + 1024 + 127) // 128 * 128))
     host_feats = np.asarray(data.features)
+
+    # probe-size the exchange owner caps (~1.05x observed per-owner
+    # maxima; static 2x fallback on a 1-chip cache axis)
+    tcaps = None
+    ocap_feat = None
+    if kg > 1:
+        topo_cap_n = int(min(cost.topo_capacity, len(cost.topo_order)))
+        feat_cap_n = int(min(cost.feat_capacity, len(cost.feat_order)))
+        hot_topo = np.sort(np.asarray(
+            cost.topo_order[:topo_cap_n], np.int64))
+        hot_feat = np.sort(np.asarray(
+            cost.feat_order[:feat_cap_n], np.int64))
+        tcaps, ocap_feat = _probe_owner_caps(
+            indptr, indices, seeds[0][: min(2, seeds.shape[1])],
+            fanouts, caps, hot_topo, hot_feat, kg, seed=cfg.train.seed)
+        log(f"owner-cap probe (Kg={kg}): topo {tcaps}, feat {ocap_feat}")
     fcache = StripedFeatureCache.build(host_feats, cost.feat_order,
                                        cost.feat_capacity, miss_cap, mesh,
-                                       dtype=cache_dtype)
+                                       dtype=cache_dtype,
+                                       owner_cap_rows=ocap_feat)
 
     # ---- model/state --------------------------------------------------------
     model = build_model(cfg.model.arch, cfg.model.hidden_dim, num_classes,
@@ -124,7 +190,7 @@ def run_striped_hybrid_training(cfg: Config, data: GraphData, mesh=None,
     tr = StripedHybridTrainer(
         cfg, model, caps, topo, indptr, indices, fcache, mesh,
         host_stage=lambda ids: gather_rows(host_feats, ids)
-        .astype(cache_dtype))
+        .astype(cache_dtype), topo_owner_caps=tcaps)
     labels_all = np.asarray(data.labels)
 
     def eval_set(ids: np.ndarray) -> float:

@@ -98,6 +98,25 @@ def psum_exchange_bytes(m: int, k: int, d: int,
     return {"all-gather": k * m * 4, "reduce-scatter": m * d * itemsize}
 
 
+def halo_exact_fetch_bytes(dist_caps, d: int,
+                           itemsize: int = 4) -> Dict[str, int]:
+    """partitioned_row_fetch_exact: per ring distance r one forward
+    ppermute of (C_r,) int32 request ids and one backward ppermute of
+    (C_r, D) rows — each requested row crosses the network ONCE, total
+    ~slack x the requested remote rows (vs K x for the psum oracle).
+    Self-requests never appear in any collective."""
+    s = int(sum(dist_caps))
+    return {"collective-permute": s * 4 + s * d * itemsize}
+
+
+def halo_exact_hop_bytes(dist_caps, fanout: int) -> Dict[str, int]:
+    """partitioned_sample_hop_exact: per distance one forward ppermute
+    of (C_r, 2) int32 (id + global draw-grid index) and one backward
+    ppermute of (C_r, fanout) int32 draws."""
+    s = int(sum(dist_caps))
+    return {"collective-permute": s * 8 + s * fanout * 4}
+
+
 def link_bytes(hlo_out_bytes: Dict[str, int], k: int) -> int:
     """Approximate per-chip link traffic from HLO output bytes on a
     K-chip ring: all-gather output is K x its input and ~(K-1)/K of it

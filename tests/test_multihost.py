@@ -31,9 +31,13 @@ def test_partitioned_training_learns(small_graph):
     model = build_model("sage", 16, small_graph.num_classes, 2, 0.0)
 
     part = partition_graph(small_graph, K, mode="greedy")
-    step, put_shards = make_partitioned_train_step(cfg, model, caps, mesh)
-    owned, sp, si, fr = put_shards(small_graph.indptr, small_graph.indices,
-                                   small_graph.features, part)
+    # exact halo exchange (production default) at loose per-distance
+    # caps: learning must go through the ppermute path
+    step, put_shards = make_partitioned_train_step(
+        cfg, model, caps, mesh, dist_caps=(caps[-1],) * (K - 1))
+    owned, sp, si, fr, owner = put_shards(
+        small_graph.indptr, small_graph.indices, small_graph.features,
+        part)
 
     # params init on a dummy single-host batch shape
     x0 = jnp.zeros((caps[-1], small_graph.feature_dim), jnp.float32)
@@ -67,9 +71,11 @@ def test_partitioned_training_learns(small_graph):
         seeds = jax.device_put(jnp.asarray(seeds_np.reshape(-1)), sh)
         labels = jax.device_put(jnp.asarray(lab_np.reshape(-1)
                                             .astype(np.int32)), sh)
-        state, m = step(state, owned, sp, si, fr, seeds, nb, labels)
+        state, m = step(state, owned, sp, si, fr, owner, seeds, nb,
+                        labels)
         losses.append(float(m["loss"]))
         assert int(m["edges"]) > 0
+        assert int(m["halo_overflow"]) == 0
 
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
@@ -190,8 +196,8 @@ def test_partitioned_within_bound_of_dp(small_graph):
 
     pmesh = Mesh(np.array(jax.devices()[:k]), ("data",))
     part = partition_graph(small_graph, k, mode="greedy")
-    pstep, put_shards = make_partitioned_train_step(cfg, model, caps,
-                                                    pmesh)
+    pstep, put_shards = make_partitioned_train_step(
+        cfg, model, caps, pmesh, dist_caps=(caps[-1],) * (k - 1))
     shard_args = put_shards(small_graph.indptr, small_graph.indices,
                             small_graph.features, part)
     psh = NamedSharding(pmesh, P("data"))

@@ -86,6 +86,52 @@ def test_striped_combine_matches_single_chip(small_graph, rng):
     np.testing.assert_array_equal(got, expect)
 
 
+def test_striped_probed_tight_owner_cap_value_exact(small_graph, rng):
+    """A probe-sized (deliberately tiny) owner cap must change WHICH
+    path serves a row, never its VALUE: over-cap hits demote to host
+    staging, the demoted count is visible, and the combined feature
+    matrix still equals features[frontier] exactly (VERDICT r4 #1's
+    safety half)."""
+    mesh = make_mesh(4, cache_group_size=4)
+    n, m, capacity, cap = 4, 96, 700, 8     # cap << hits/K: must demote
+    feats, fc, sc = _caches(small_graph, capacity, miss_cap=m, mesh=mesh)
+
+    frontiers = rng.integers(0, small_graph.num_nodes,
+                             size=(n, m)).astype(np.int32)
+    frontiers[:, -5:] = -1
+    sh = NamedSharding(mesh, P(MESH_AXES))
+    ax = P(MESH_AXES)
+
+    def plan_prog(hot_ids, frontier):
+        base = FeatureCache.plan_ids(hot_ids, frontier[0], m)
+        plan = StripedFeatureCache.plan_ids(hot_ids, frontier[0], m,
+                                            k=4, cap=cap)
+        return (plan.miss_ids[None],
+                (base.num_hit - plan.num_hit)[None])
+
+    miss_ids, demoted = jax.jit(jax.shard_map(
+        plan_prog, mesh=mesh, in_specs=(P(), ax), out_specs=(ax, ax)))(
+        sc.hot_ids, jax.device_put(frontiers, sh))
+    assert int(np.asarray(demoted).sum()) > 0, "cap must actually demote"
+    staged = np.stack([fc.stage(ids) for ids in np.asarray(miss_ids)])
+
+    def combine_prog(hot_ids, rows_local, frontier, staged):
+        plan = StripedFeatureCache.plan_ids(hot_ids, frontier[0], m,
+                                            k=4, cap=cap)
+        x = StripedFeatureCache.combine_rows(rows_local, plan, staged[0],
+                                             frontier[0], cap=cap)
+        return x[None]
+
+    got = np.asarray(jax.jit(jax.shard_map(
+        combine_prog, mesh=mesh,
+        in_specs=(P(), P("cache"), ax, ax), out_specs=ax))(
+        sc.hot_ids, sc.rows, jax.device_put(frontiers, sh),
+        jax.device_put(staged, sh)))
+    expect = np.where((frontiers >= 0)[..., None],
+                      np.asarray(feats)[np.clip(frontiers, 0, None)], 0.0)
+    np.testing.assert_array_equal(got, expect)
+
+
 def _mk_trainer(small_graph, mesh, capacity=700, batch=32, miss_cap=None):
     cfg = _cfg(small_graph, batch=batch)
     caps = frontier_caps(batch, cfg.sampler.fanouts)

@@ -111,11 +111,18 @@ def main():
         print(f"{k} chips DP: {e / dt:.3e} edges/s", file=sys.stderr,
               flush=True)
 
-        # ---- edge-partitioned path at the same size --------------------
+        # ---- edge-partitioned path at the same size (exact halo) -------
+        from legion_tpu.parallel.multihost import probe_dist_caps
         pmesh = Mesh(np.array(jax.devices()[:k]), (AXIS,))
         part = partition_graph(data, k, mode="greedy")
-        pstep, put_shards = make_partitioned_train_step(cfg, model, caps,
-                                                        pmesh)
+        # probe with the same seed distribution the bench feeds (random
+        # split, NOT partition-local — mirrors ps below)
+        dcaps = probe_dist_caps(
+            data.indptr, data.indices, part,
+            np.array_split(np.random.default_rng(5).permutation(ids), k),
+            cfg.sampler.fanouts, caps, k, b) if k > 1 else ()
+        pstep, put_shards = make_partitioned_train_step(
+            cfg, model, caps, pmesh, dist_caps=dcaps)
         shard_args = put_shards(data.indptr, data.indices, data.features,
                                 part)
         pstate = create_train_state(
