@@ -189,11 +189,16 @@ def run_variant(agg, graph, feats, cfg, caps, seeds, labels):
         t0 = time.perf_counter()
         state, losses, (edges, overflow) = jepoch(state, graph, feats,
                                                   seeds, labels)
-        packed = np.asarray(jnp.stack(
-            [edges.astype(jnp.float32), losses[-1].astype(jnp.float32),
-             overflow.astype(jnp.float32)]))
+        # edges is PER-STEP (steps,) int32 (int64-safe epoch totals,
+        # see train.loop.sum_edge_counts); each count < 2^24 so the f32
+        # ride through the packed transfer is exact — summed on host.
+        packed = np.asarray(jnp.concatenate(
+            [jnp.stack([losses[-1].astype(jnp.float32),
+                        overflow.astype(jnp.float32)]),
+             edges.astype(jnp.float32)]))
         dt = time.perf_counter() - t0
-        e, l, overflow = float(packed[0]), float(packed[1]), packed[2]
+        l, overflow = float(packed[0]), packed[1]
+        e = float(np.asarray(packed[2:], np.int64).sum())
         best = min(best, dt) if best else dt
         assert float(overflow) == 0, (
             f"frontier cap overflow ({overflow} ids dropped): "
@@ -201,7 +206,7 @@ def run_variant(agg, graph, feats, cfg, caps, seeds, labels):
     eps = e / best
     log(f"[{agg}] {STEPS} steps in {best:.3f}s -> {eps:.3e} edges/s "
         f"(loss {l:.3f})")
-    return eps
+    return eps, best / STEPS * 1e3
 
 
 def main():
@@ -242,7 +247,25 @@ def main():
 
     caps = probe_caps(graph, seeds, labels)
 
-    eps_fanout = run_variant("fanout", graph, feats, cfg, caps, seeds, labels)
+    eps_fanout, step_ms = run_variant("fanout", graph, feats, cfg, caps,
+                                      seeds, labels)
+
+    # whole-step speed-of-light accounting (VERDICT r4 #7): compose
+    # per-stage roofs from independently measured device rates and
+    # report measured-vs-roof (tools/sol_model.py documents every rate
+    # and stage; the composition is in docs/ARCHITECTURE.md).
+    try:
+        from tools.sol_model import sol_fraction, step_roof_ms
+        roof = step_roof_ms(BATCH, caps, FANOUTS, cfg.model.hidden_dim,
+                            feats.shape[1], cfg.dataset.num_classes,
+                            bf16=(DTYPE == "bfloat16"))
+        sol = sol_fraction(step_ms, roof)
+        log("roof model [ms]: " + ", ".join(
+            f"{k}={v:.2f}" for k, v in roof.items())
+            + f"; measured {step_ms:.2f} -> sol_frac {sol:.2f}")
+    except Exception as exc:  # never lose the headline to the roof
+        roof, sol = {"total": float("nan")}, float("nan")
+        log(f"roof model errored: {exc}")
 
     # Baseline (scatter-SpMM port) is deterministic given shapes; its
     # measurement is memoized so the default bench needs one compile —
@@ -257,8 +280,8 @@ def main():
         eps_coo = json.load(open(memo))["edges_per_s"]
         log(f"[coo_segment] baseline from cache: {eps_coo:.3e} edges/s")
     else:
-        eps_coo = run_variant("coo_segment", graph, feats, cfg, caps, seeds,
-                              labels)
+        eps_coo, _ = run_variant("coo_segment", graph, feats, cfg, caps,
+                                 seeds, labels)
         json.dump({"edges_per_s": eps_coo}, open(memo, "w"))
 
     # Mosaic regression gate (VERDICT r2 weak #7): compile + verify every
@@ -284,6 +307,9 @@ def main():
         "value": round(eps_fanout, 1),
         "unit": "edges/s",
         "vs_baseline": round(eps_fanout / eps_coo, 3),
+        "step_ms": round(step_ms, 2),
+        "roof_ms": round(float(roof["total"]), 2),
+        "sol_frac": round(float(sol), 3),
         "kernel_gate": kernel_gate,
         "kernels": kernels,
     }))

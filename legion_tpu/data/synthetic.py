@@ -109,6 +109,21 @@ def bench_graph(num_nodes: int = 2_449_029, avg_degree: int = 50,
                                   n_train + n_train // 2])
 
 
+def _stream_indptr(f, counts: np.ndarray, chunk_nodes: int) -> int:
+    """Write the int64 indptr for per-node edge counts in chunks (the
+    running offset is int64 throughout — cumulative sums pass 2^35 at
+    the uk2014/clueweb registry rows; pinned by tests/test_bigcsr.py).
+    Returns the total edge count."""
+    np.zeros(1, np.int64).tofile(f)
+    run = np.int64(0)
+    for s in range(0, len(counts), chunk_nodes):
+        c = counts[s: s + chunk_nodes].astype(np.int64, copy=False)
+        out = np.cumsum(c) + run
+        run = out[-1]
+        out.tofile(f)
+    return int(run)
+
+
 def streaming_power_law_graph(
     path: str,
     num_nodes: int,
@@ -121,6 +136,8 @@ def streaming_power_law_graph(
     valid_num: int = 16_000,
     test_num: int = 16_000,
     chunk_nodes: int = 2_000_000,
+    communities: int = 0,
+    intra_frac: float = 0.8,
     log=print,
 ) -> str:
     """Generate a packed dataset DIRECTLY on disk with bounded RAM —
@@ -134,6 +151,17 @@ def streaming_power_law_graph(
     in meta.json); neighbor sources are Zipf(alpha)-popular over a
     permuted id space (the reference's billion-scale datasets are
     heavy-tailed web graphs, ``legion_server.py:30-53``). Returns path.
+
+    communities > 0 plants block structure (VERDICT r4 next #5: the
+    uniform-destination synthetic gives a partitioner nothing to find —
+    real web graphs cluster, which is why XtraPulp exists,
+    ``prepare_dataset.sh:44``): nodes are assigned to ``communities``
+    random groups, and each edge's source is drawn from the
+    destination's OWN community with probability ``intra_frac``
+    (Zipf-skewed within the community), else from the global Zipf. A
+    good partitioner can then cut ~(1-intra_frac) of edges where hash
+    cuts ~(K-1)/K. Adds 8 bytes/node of RAM (community permutation +
+    inverse).
     """
     import json as _json
     import time as _time
@@ -143,16 +171,8 @@ def streaming_power_law_graph(
     t0 = _time.time()
     # in-degrees + streamed int64 indptr
     counts = rng.poisson(avg_degree, num_nodes).astype(np.int64)
-    indptr_path = os.path.join(path, "edge_src")
-    with open(indptr_path, "wb") as f:
-        np.zeros(1, np.int64).tofile(f)
-        run = np.int64(0)
-        for s in range(0, num_nodes, chunk_nodes):
-            c = counts[s: s + chunk_nodes]
-            out = np.cumsum(c) + run
-            run = out[-1]
-            out.tofile(f)
-    num_edges = int(run)
+    with open(os.path.join(path, "edge_src"), "wb") as f:
+        num_edges = _stream_indptr(f, counts, chunk_nodes)
     log(f"indptr written ({num_edges} edges) {_time.time()-t0:.0f}s")
 
     # Zipf CDF over permuted source ids
@@ -161,13 +181,35 @@ def streaming_power_law_graph(
     cdf /= cdf[-1]
     perm = rng.permutation(num_nodes).astype(np.int32)
 
+    if communities > 1:
+        csize = -(-num_nodes // communities)          # ceil
+        cperm = rng.permutation(num_nodes).astype(np.int32)
+        cinv = np.empty(num_nodes, np.int32)
+        cinv[cperm] = np.arange(num_nodes, dtype=np.int32)
+        lranks = np.arange(1, csize + 1, dtype=np.float64)
+        lcdf = np.cumsum(lranks ** (-alpha))
+        lcdf /= lcdf[-1]
+
     with open(os.path.join(path, "edge_dst"), "wb") as f:
         done = 0
         for s in range(0, num_nodes, chunk_nodes):
-            e = int(counts[s: s + chunk_nodes].sum())
+            c = counts[s: s + chunk_nodes]
+            e = int(c.sum())
             src = perm[np.searchsorted(
                 cdf, rng.random(e)).astype(np.int64)]
-            src.tofile(f)
+            if communities > 1 and e:
+                # destination node of each edge in this chunk
+                dst = (np.int64(s)
+                       + np.repeat(np.arange(len(c), dtype=np.int64), c))
+                comm = cinv[dst] // csize
+                base = comm.astype(np.int64) * csize
+                size_c = np.minimum(csize, num_nodes - base)
+                lr = np.minimum(
+                    np.searchsorted(lcdf, rng.random(e)).astype(np.int64),
+                    size_c - 1)
+                intra = rng.random(e) < intra_frac
+                src = np.where(intra, cperm[base + lr], src)
+            src.astype(np.int32).tofile(f)
             done += e
             if (s // chunk_nodes) % 8 == 0:
                 log(f"  edges {done}/{num_edges} "

@@ -27,9 +27,10 @@ Two exchange strategies:
 * **v1** (``sharded_row_fetch_psum``): all_gather(ids) + local gather +
   psum_scatter(rows). K x the ideal volume (every chip's full request
   set rides the reduce-scatter) but cap-free and oblivious to owner
-  skew. Kept for halo exchange (partition-owned ids concentrate per
-  neighbor partition, so a uniform per-owner cap does not hold) and as
-  the fallback/oracle.
+  skew. Kept as the fallback/oracle. (The halo path, where a uniform
+  per-owner cap genuinely does not hold, got its own exact form in r5:
+  per-ring-distance ppermute rounds with non-uniform caps —
+  parallel.halo.partitioned_row_fetch_exact.)
 
 Closed-form per-step collective bytes for both live in
 ``legion_tpu.utils.comm`` and are asserted against compiled HLO in

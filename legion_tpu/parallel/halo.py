@@ -8,14 +8,18 @@ rows and train-id shard, and the two cross-host needs of mini-batch GNN
 training both become mesh collectives:
 
 * **remote neighbor expansion**: a hop's frontier contains nodes owned
-  by other hosts; their adjacency rows live there. Each host gathers
-  every peer's frontier (`all_gather` of ids — tiny), draws samples for
-  the requests it owns from its local sub-CSR, and a `psum_scatter`
-  returns each host exactly its own frontier's samples. This replaces
+  by other hosts; their adjacency rows live there. The EXACT exchange
+  (default; ``partitioned_sample_hop_exact``) routes each request to
+  its owner in per-ring-distance ppermute rounds with probed
+  non-uniform caps, so each request/draw crosses the network once; the
+  v1 psum exchange (`all_gather` ids + draw + `psum_scatter`, K x the
+  bytes but cap-free) is kept as the oracle/fallback. This replaces
   nothing in the reference (it cannot do this) and is the graph-domain
   "context parallelism" slot of SURVEY.md §5.
 * **halo (boundary) feature fetch**: identical exchange over feature
-  rows — the multi-host generalization of the NVLink-clique cache reads.
+  rows — the multi-host generalization of the NVLink-clique cache reads
+  (and, since r5, held to the same exactly-requested-bytes bar as the
+  striped cache, ``src/Kernels.cu:695-699``).
 
 Owned rows are stored compactly, sorted by global id, with
 `searchsorted` as the global->local map (no (N,) owner table needed).

@@ -160,7 +160,10 @@ def _partitioned_step_fns(cfg: Config, model, caps, dist_caps=None):
 
         state, (losses, edges, ov) = jax.lax.scan(
             body, state, (seeds_epoch, labels_epoch))
-        return state, losses, jnp.sum(edges), jnp.sum(ov)
+        # per-step edges (int32 each): host sums in int64 — a device
+        # int32 sum wraps past 2^31 at reference epoch scales (see
+        # train.loop.sum_edge_counts)
+        return state, losses, edges, jnp.sum(ov)
 
     def eval_scan(params, owned, sp, si, fr, owner_t, seeds_epoch,
                   counts, labels_epoch, key):

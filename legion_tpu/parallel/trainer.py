@@ -29,6 +29,7 @@ from legion_tpu.models import build_model
 from legion_tpu.parallel.dp import (MESH_AXES, make_dp_epoch_fns,
                                     put_striped_features)
 from legion_tpu.parallel.mesh import make_mesh
+from legion_tpu.train.loop import sum_edge_counts
 from legion_tpu.sampling.block import frontier_caps
 from legion_tpu.sampling.sampler import DeviceGraph, gather_features, sample_batch
 from legion_tpu.sampling.seeds import (
@@ -141,7 +142,7 @@ class MeshTrainer:
                          "hint": "raise sampler.observed_cap_slack"})
         rec = {"epoch": epoch, "loss": float(losses[-1]),
                "mean_loss": float(losses.mean()), "epoch_s": dt,
-               "edges_per_s": float(jax.device_get(edges)) / dt}
+               "edges_per_s": sum_edge_counts(edges) / dt}
         self.history.append(rec)
         return rec
 

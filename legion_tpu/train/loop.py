@@ -33,6 +33,14 @@ from legion_tpu.train.train_state import (
     TrainState, create_train_state, restore_checkpoint, save_checkpoint)
 
 
+def sum_edge_counts(per_step) -> int:
+    """Exact epoch edge total from per-step int32 counts: the device
+    program keeps counts per step (each < 2^31) and the host reduces in
+    int64 — the uk2014/clueweb-envelope rule for metering accumulators
+    (tests/test_bigcsr.py::test_edge_total_accumulator_past_2_31)."""
+    return int(np.asarray(jax.device_get(per_step), np.int64).sum())
+
+
 class StepFns(NamedTuple):
     """Pure step functions built by make_step_fns. Callers destructure
     (train_step, eval_step, epoch_scan, eval_scan) or access by name."""
@@ -236,7 +244,12 @@ def make_step_fns(cfg: Config, model, caps,
         state, (losses, edges, overflow) = jax.lax.scan(
             body, state, (seeds_epoch, labels_epoch),
             unroll=min(unroll, seeds_epoch.shape[0]))
-        return state, losses, (jnp.sum(edges), jnp.sum(overflow))
+        # edges stays PER-STEP (steps,) int32: a device-side int32 sum
+        # wraps past 2^31 — reachable at reference scales (8-chip DP at
+        # batch 8000 x fanout [25,10] psums ~17M edges/step; a full
+        # uk-class epoch crosses 2^31). Callers sum on host in int64
+        # (sum_edge_counts); per-step counts are always < 2^31.
+        return state, losses, (edges, jnp.sum(overflow))
 
     return StepFns(train_step=train_step, eval_step=eval_step,
                    epoch_scan=epoch_scan, eval_scan=eval_scan)
@@ -383,7 +396,7 @@ class Trainer:
                       * self.features.shape[1] * 4)
         rec = {"epoch": epoch, "loss": float(losses[-1]),
                "mean_loss": float(losses.mean()),
-               "epoch_s": dt, "edges_per_s": float(jax.device_get(edges)) / dt,
+               "epoch_s": dt, "edges_per_s": sum_edge_counts(edges) / dt,
                "feature_gb": feat_bytes / 2 ** 30}
         self.history.append(rec)
         from legion_tpu.utils.logging import log_metrics

@@ -185,9 +185,10 @@ def run_partitioned_training(cfg: Config, data: GraphData, mesh=None,
             log_metrics({"event": "halo_overflow", "epoch": epoch,
                          "dropped_requests": halo_ov,
                          "hint": "raise parallel.halo_cap_slack"})
+        from legion_tpu.train.loop import sum_edge_counts
         rec = {"epoch": epoch, "loss": float(losses[-1]),
                "mean_loss": float(losses.mean()), "seconds": dt,
-               "edges_per_s": float(jax.device_get(edges)) / dt,
+               "edges_per_s": sum_edge_counts(edges) / dt,
                "edge_cut": cut, "halo_overflow": halo_ov}
         rec["valid"] = eval_set(np.asarray(data.valid_ids))
         history.append(rec)

@@ -200,3 +200,13 @@ def test_hotness_histogram_accumulator_headroom():
     levels = 3
     worst_per_node = steps * levels
     assert worst_per_node < 2 ** 31
+
+
+def test_edge_total_accumulator_past_2_31():
+    """Epoch edge totals must survive past 2^31 (8-chip DP at the
+    reference batch psums ~17M edges/step; a uk-class epoch crosses
+    int32). The device programs keep PER-STEP int32 counts and the host
+    reduces in int64 (train.loop.sum_edge_counts)."""
+    from legion_tpu.train.loop import sum_edge_counts
+    per_step = np.full(200, 17_000_000, np.int32)    # 3.4e9 > 2^31
+    assert sum_edge_counts(per_step) == 200 * 17_000_000

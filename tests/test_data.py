@@ -111,3 +111,48 @@ def test_ogb_converter_with_mock(tmp_path, monkeypatch):
     np.testing.assert_array_equal(np.asarray(r.features), feats)
     np.testing.assert_array_equal(np.asarray(r.train_ids), [0, 1])
     np.testing.assert_array_equal(np.asarray(r.test_ids), [3, 4])
+
+
+def test_stream_indptr_arithmetic_past_2_35(tmp_path):
+    """The streaming generator's chunked indptr accumulator at
+    uk2014-envelope magnitudes: 64 nodes of 2^30 edges each -> offsets
+    past 2^35, written chunk by chunk, no wrap (VERDICT r4 next #6)."""
+    from legion_tpu.data.synthetic import _stream_indptr
+    counts = np.full(64, 1 << 30, np.int64)
+    fp = tmp_path / "indptr.bin"
+    with open(fp, "wb") as f:
+        total = _stream_indptr(f, counts, chunk_nodes=16)
+    assert total == 64 << 30 and total > 2 ** 35
+    arr = np.fromfile(fp, np.int64)
+    assert len(arr) == 65
+    assert arr[0] == 0 and arr[1] == 1 << 30 and arr[-1] == total
+    np.testing.assert_array_equal(np.diff(arr), counts)
+
+
+def test_clustered_generator_greedy_beats_hash(tmp_path):
+    """Planted-community streaming generator (VERDICT r4 next #5): the
+    uniform-destination synthetic gave the partitioner nothing to find;
+    with block structure the chunked greedy must cut FAR fewer edges
+    than hash — the locality premise the whole partitioned/halo path
+    rests on."""
+    from legion_tpu.data.format import load_dataset
+    from legion_tpu.data.partition import edge_cut_fraction, partition_graph
+    from legion_tpu.data.synthetic import streaming_power_law_graph
+    p = streaming_power_law_graph(
+        str(tmp_path / "cds"), num_nodes=20_000, avg_degree=8,
+        feature_dim=4, num_classes=5, train_num=2000, valid_num=200,
+        test_num=200, chunk_nodes=4096, communities=16, intra_frac=0.8,
+        log=lambda s: None)
+    g = load_dataset(p)
+    g.validate()
+    cut_hash = edge_cut_fraction(g, partition_graph(g, 4, mode="hash"))
+    cut_greedy = edge_cut_fraction(
+        g, partition_graph(g, 4, mode="greedy", chunk_size=512))
+    # hash cuts ~(K-1)/K regardless; greedy must exploit the planted
+    # blocks (~intra_frac of edges are recoverable)
+    assert cut_hash > 0.70, cut_hash
+    assert cut_greedy < 0.6 * cut_hash, (cut_greedy, cut_hash)
+    # balance still holds
+    part = partition_graph(g, 4, mode="greedy", chunk_size=512)
+    sizes = np.bincount(part, minlength=4)
+    assert sizes.max() <= int(g.num_nodes / 4 * 1.06) + 1
