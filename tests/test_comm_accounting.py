@@ -250,6 +250,16 @@ def test_striped_cached_step_collective_composition(small_graph):
     assert "all-gather" not in got and "reduce-scatter" not in got, got
     assert pb <= got.get("all-reduce", 0) <= pb + 64, (got, pb)
 
+    # the striped-cached EVAL program: exchange + scalar psums only (no
+    # gradient all-reduce) — completes the assertion matrix row
+    txt = tr.jit_eval_from.lower(
+        jax.device_put(params, rep), sc.rows, batch, plan,
+        staged).compile().as_text()
+    got = hlo_collective_bytes(txt)
+    assert got.get("all-to-all", 0) == want_a2a, (got, want_a2a)
+    assert "all-gather" not in got and "reduce-scatter" not in got, got
+    assert got.get("all-reduce", 0) <= 64, got
+
 
 def test_dp_grads_are_mean_of_shard_grads(small_graph):
     """DDP semantics pin: the mesh step's applied gradient must equal

@@ -83,7 +83,7 @@ def main():
 
     ndev = len(jax.devices())
     results, results_part, results_striped = {}, {}, {}
-    striped_hit = {}
+    striped_hit, striped_demoted = {}, {}
     sizes = [k for k in (1, 2, 4, 8, 16) if k <= ndev]
     ids = np.asarray(data.train_ids)
     rng = np.random.default_rng(0)
@@ -150,8 +150,40 @@ def main():
         deg_order = np.argsort(
             -np.diff(np.asarray(data.indptr))).astype(np.int32)
         capacity = feats_np.shape[0] // 4
+        # probe the per-owner exchange cap (~1.05x observed maxima, the
+        # striped driver's procedure) so the measured exchange runs at
+        # the production volume, not the static 2x fallback
+        ocap = None
+        if k > 1:
+            from legion_tpu.cache.feature_cache import FeatureCache as _FC
+            from legion_tpu.parallel.feature_exchange import (
+                owner_counts, probed_owner_cap)
+            from legion_tpu.sampling.sampler import sample_batch
+            hot_probe = jnp.asarray(
+                np.sort(deg_order[:capacity]).astype(np.int32))
+
+            def _probe(key, g, hot_sorted, seeds_b):
+                pb = sample_batch(key, g, seeds_b,
+                                  jnp.full((), b, jnp.int32),
+                                  jnp.zeros((b,), jnp.int32),
+                                  tuple(cfg.sampler.fanouts), caps,
+                                  dedup_last=True)
+                plan = _FC.plan_ids(hot_sorted, pb.frontier, 128)
+                return owner_counts(
+                    jnp.where(plan.hit, plan.slot, -1), k)
+
+            jp = jax.jit(_probe)
+            omax = 0
+            for i in range(2):
+                sb = np.random.default_rng(60 + i).permutation(
+                    ids)[:b].astype(np.int32)
+                omax = max(omax, int(np.asarray(jp(
+                    jax.random.PRNGKey(8800 + i), graph, hot_probe,
+                    jnp.asarray(sb))).max()))
+            ocap = probed_owner_cap(omax, caps[-1], k)
         scache = StripedFeatureCache.build(feats_np, deg_order, capacity,
-                                           miss_cap=caps[-1], mesh=smesh)
+                                           miss_cap=caps[-1], mesh=smesh,
+                                           owner_cap_rows=ocap)
         fc = FeatureCache.build(feats_np, deg_order, capacity,
                                 miss_cap=caps[-1])
         tr = StripedCachedTrainer(cfg, model, caps, graph, scache, smesh,
@@ -167,8 +199,11 @@ def main():
         r = tr.run_epoch(r["state"], seeds_ep, labels_ep)
         results_striped[k] = r["edges_per_s"]
         striped_hit[k] = r["cache_hit_rate"]
+        striped_demoted[k] = r["exchange_overflow"]
         print(f"{k} chips striped-cache (Kg={k}): "
-              f"{r['edges_per_s']:.3e} edges/s hit={r['cache_hit_rate']:.3f}",
+              f"{r['edges_per_s']:.3e} edges/s "
+              f"hit={r['cache_hit_rate']:.3f} ocap={ocap} "
+              f"demoted={r['exchange_overflow']}",
               file=sys.stderr, flush=True)
 
     base = results[sizes[0]]
@@ -186,6 +221,8 @@ def main():
                              for k, v in results_striped.items()},
         "striped_hit_rate": {str(k): round(v, 3)
                              for k, v in striped_hit.items()},
+        "striped_demoted": {str(k): v
+                            for k, v in striped_demoted.items()},
         "backend": jax.default_backend(),
     }))
 
