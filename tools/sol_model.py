@@ -75,16 +75,19 @@ def step_roof_ms(batch: int, caps, fanouts, hidden: int, feat_dim: int,
     agg_bytes = m_final * row_bytes + m_hop1 * row_bytes
     t_agg = agg_bytes / (HBM_GBPS * 1e9)
 
-    # 5. model matmuls (fwd + bwd ~ 3x fwd flops on the MXU):
-    #    layer-1 neighbor transform (transform-first: D -> hidden over
-    #    the gathered rows), layer-1 self path, layer-2 over the hop-1
-    #    frontier, output projection over the batch.
-    flops_fwd = 2 * (m_final * feat_dim * hidden          # l1 transform
-                     + m_hop1 * feat_dim * hidden         # l1 self
-                     + m_hop1 * hidden * hidden           # l2 transform
-                     + batch * hidden * num_classes)      # head
+    # 5. model matmuls on the MXU. The layer-1 transforms consume the
+    #    GATHERED FEATURES, which need no input gradient — their
+    #    backward is dW only (1 extra matmul, not 2), so those flops
+    #    count 2x fwd; deeper layers count the usual 3x. (r5 xprof
+    #    cross-check: convolution-fusion category measures 1.11 ms/step
+    #    at bench shapes vs 1.26 modeled — a naive 3x-everything model
+    #    claimed 1.71 and sat ABOVE the measurement, i.e. not a roof.)
+    l1 = 2 * (m_final * feat_dim * hidden                 # l1 transform
+              + m_hop1 * feat_dim * hidden)               # l1 self
+    rest = 2 * (m_hop1 * hidden * hidden                  # l2 transform
+                + batch * hidden * num_classes)           # head
     rate = MXU_BF16_TFLOPS if bf16 else MXU_BF16_TFLOPS / 2
-    t_mxu = 3 * flops_fwd / (rate * 1e12)
+    t_mxu = (2 * l1 + 3 * rest) / (rate * 1e12)
 
     # 6. backward scatter-add: the transpose of the BLOCK-1 aggregation
     #    gather — batch x f1 update rows into the hop-1 frontier (the
