@@ -69,6 +69,31 @@ def test_cli_partitioned_honors_partition_file(packed_dir):
     assert "Accuracy on test data" in r.stdout
 
 
+def test_cli_halo_flags(packed_dir):
+    """--halo-exchange/--halo-cap-slack reach the partitioned driver
+    (psum mode runs; exact is the default with its probe log) and warn
+    when passed to a non-partitioned driver (no silently-ignored
+    flags)."""
+    r = _run(["--data-dir", packed_dir, "--partitioned", "--devices", "2",
+              "--epochs", "1", "--batch-size", "32", "--fanouts", "4,3",
+              "--hidden-dim", "16", "--halo-exchange", "psum"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert '"halo_exchange": "psum"' in r.stdout
+    assert "halo exact exchange" not in r.stdout
+
+    r = _run(["--data-dir", packed_dir, "--partitioned", "--devices", "2",
+              "--epochs", "1", "--batch-size", "32", "--fanouts", "4,3",
+              "--hidden-dim", "16", "--halo-cap-slack", "1.5"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "halo exact exchange: per-distance caps" in r.stdout
+
+    r = _run(["--data-dir", packed_dir, "--epochs", "1",
+              "--batch-size", "32", "--fanouts", "4,3",
+              "--hidden-dim", "16", "--halo-exchange", "psum"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "apply only to --partitioned" in r.stderr
+
+
 def test_cli_auto_cache_group(packed_dir):
     """Unset --cache-group with a cache defaults to the largest mesh
     divisor inside the local device count (reference: cache_agg_mode

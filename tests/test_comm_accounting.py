@@ -55,6 +55,27 @@ def test_exact_exchange_hlo_matches_formula(mesh):
     assert "all-gather" not in got and "reduce-scatter" not in got
 
 
+def test_exact_exchange_probed_cap_flows_to_hlo(mesh):
+    """A PROBED (non-default) owner cap must flow through routing,
+    demotion AND the compiled collective bytes — the closed form carries
+    the cap (VERDICT r4 #1 'done when')."""
+    rows, ids = _striped_args(mesh)
+    cap = 40                        # != owner_cap(M, K) = 48
+
+    def ex(rl, il):
+        o, ov = sharded_row_fetch_stats(rl, il, "cache", cap=cap)
+        return o, ov[None]
+
+    txt = _compiled(mesh, jax.shard_map(
+        ex, mesh=mesh, in_specs=(P("cache"), P("cache")),
+        out_specs=(P("cache"), P("cache"))), rows, ids)
+    got = hlo_collective_bytes(txt)
+    want = exact_exchange_bytes(M, K, D, itemsize=4, cap=cap)
+    assert got == want, (got, want)
+    assert want["all-to-all"] < exact_exchange_bytes(
+        M, K, D, itemsize=4)["all-to-all"]
+
+
 def test_psum_exchange_hlo_matches_formula(mesh):
     rows, ids = _striped_args(mesh)
     txt = _compiled(mesh, jax.shard_map(

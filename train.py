@@ -77,6 +77,16 @@ def main():
                          "halo features ride collectives (launch with "
                          "LEGION_COORDINATOR/NUM_PROCESSES/PROCESS_ID "
                          "for a real multi-host run)")
+    ap.add_argument("--halo-exchange", default="exact",
+                    choices=["exact", "psum"],
+                    help="partitioned-path halo strategy: 'exact' = "
+                         "per-distance ppermutes at probed caps (each "
+                         "requested row crosses the network once; "
+                         "over-cap requests fail loudly), 'psum' = the "
+                         "cap-free K-x oracle")
+    ap.add_argument("--halo-cap-slack", type=float, default=1.3,
+                    help="slack over observed per-distance request "
+                         "maxima when probing the exact halo caps")
     args = ap.parse_args()
 
     # Auto cache-group (reference: cache_agg_mode derived from detected
@@ -178,7 +188,9 @@ def main():
             cache=CacheConfig(enabled=args.cache_budget_gb > 0,
                               budget_bytes=int(args.cache_budget_gb * 2**30),
                               group_size=args.cache_group),
-            parallel=ParallelConfig(num_devices=args.devices),
+            parallel=ParallelConfig(num_devices=args.devices,
+                                    halo_exchange=args.halo_exchange,
+                                    halo_cap_slack=args.halo_cap_slack),
         )
 
     topo_host = (getattr(args, "topology", "hbm") == "host"
@@ -192,6 +204,10 @@ def main():
     def warn(msg):
         print(f"WARNING: {msg}", file=sys.stderr, flush=True)
 
+    if not getattr(args, "partitioned", False) and (
+            args.halo_exchange != "exact" or args.halo_cap_slack != 1.3):
+        warn("--halo-exchange/--halo-cap-slack apply only to "
+             "--partitioned (ignored by this driver)")
     if getattr(args, "partitioned", False):
         if cfg.cache.enabled:
             warn("--partitioned ignores --cache-budget-gb/--cache-group "
