@@ -96,3 +96,40 @@ def observed_caps(max_per_hop, slack: float = 1.2, align: int = 8,
     if last_exact_fanout is not None:
         caps[-1] = caps[-2] * (1 + last_exact_fanout)
     return tuple(int(c) for c in caps)
+
+
+def host_frontier_probe(indptr, indices, seed_batches, fanouts, caps,
+                        visit, rng, seed_base: int = 0):
+    """Re-grow multi-hop frontiers with the HOST sampler for probe
+    statistics (numpy; no device programs). The shared engine behind
+    every host-side cap probe (striped-hybrid owner caps, halo
+    per-distance caps): engine choice cannot change frontier
+    COMPOSITION statistics, so the threaded C++ sampler stands in for
+    the mesh program; frontiers beyond a hop's cap are randomly
+    subsampled (truncating the sorted unique() array would bias toward
+    low ids).
+
+    ``visit(hop, frontier)`` is called with the frontier a hop samples
+    FROM for hop in [0, len(fanouts)), and once more with
+    hop == len(fanouts) for the final (feature-fetch) frontier.
+    """
+    import numpy as np
+
+    from legion_tpu import runtime
+    indptr = np.ascontiguousarray(np.asarray(indptr), np.int64)
+    indices = np.ascontiguousarray(np.asarray(indices), np.int32)
+    for bi, seeds in enumerate(seed_batches):
+        seeds = np.asarray(seeds)
+        frontier = seeds[seeds >= 0].astype(np.int64)
+        for hop, f in enumerate(fanouts):
+            visit(hop, frontier)
+            nbrs = runtime.sample_neighbors(
+                indptr, indices, frontier.astype(np.int32), f,
+                seed=seed_base + bi * 997 + hop)
+            grown = np.unique(np.concatenate(
+                [frontier, nbrs[nbrs >= 0].astype(np.int64)]))
+            if len(grown) > caps[hop + 1]:
+                grown = grown[rng.permutation(len(grown))
+                              [: caps[hop + 1]]]
+            frontier = grown
+        visit(len(fanouts), frontier)

@@ -90,10 +90,12 @@ class StripedFeatureCache(NamedTuple):
         rows = jax.device_put(flat, NamedSharding(mesh, P("cache")))
         hot_ids = jax.device_put(
             jnp.asarray(hot), NamedSharding(mesh, P()))
+        if owner_cap_rows is not None:
+            assert owner_cap_rows > 0, owner_cap_rows
         return cls(hot_ids=hot_ids, rows=rows, miss_cap=int(miss_cap),
                    group_size=int(k),
-                   owner_cap_rows=(int(owner_cap_rows)
-                                   if owner_cap_rows else None))
+                   owner_cap_rows=(None if owner_cap_rows is None
+                                   else int(owner_cap_rows)))
 
     # -- jit/shard_map pieces -------------------------------------------
     #
@@ -164,9 +166,9 @@ class StripedFeatureCache(NamedTuple):
         req = jnp.where(plan.hit, plan.slot, -1)
         hit_rows = sharded_row_fetch(rows_local, req, axis,
                                      cap=cap)             # (M, D)
-        cap = staged.shape[0]
-        in_range = plan.miss_idx < cap
-        missed = jnp.take(staged, jnp.clip(plan.miss_idx, 0, cap - 1),
+        mcap = staged.shape[0]
+        in_range = plan.miss_idx < mcap
+        missed = jnp.take(staged, jnp.clip(plan.miss_idx, 0, mcap - 1),
                           axis=0)
         missed = missed * in_range[:, None].astype(missed.dtype)
         x = jnp.where(plan.hit[:, None], hit_rows.astype(missed.dtype),

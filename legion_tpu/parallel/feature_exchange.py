@@ -69,16 +69,25 @@ def owner_cap(m: int, k: int, slack: float = OWNER_CAP_SLACK) -> int:
     return max(8, min((c + 7) // 8 * 8, m))
 
 
+def probed_cap(observed_max: int, hi: int,
+               slack: float = PROBED_OWNER_SLACK) -> int:
+    """Cap from an OBSERVED request maximum: slack x observed + a small
+    absolute floor for burst headroom, 8-aligned, clamped to [8, hi].
+    The single formula behind every probe-sized exchange cap (striped
+    owner caps AND the halo per-distance caps) so headroom policy lives
+    in one place."""
+    c = int(observed_max * slack) + 32
+    return max(8, min((c + 7) // 8 * 8, int(hi)))
+
+
 def probed_owner_cap(observed_max: int, m: int, k: int,
                      slack: float = PROBED_OWNER_SLACK) -> int:
-    """Cap from an OBSERVED per-owner request maximum (8-aligned,
-    slack x observed + a small absolute floor for burst headroom,
-    never above the static fallback). Binomial concentration makes the
+    """Owner cap from an OBSERVED per-owner request maximum (never
+    above the static fallback). Binomial concentration makes the
     realized per-owner counts fluctuate by ~sqrt(H/K) around H/K, so
     ~1.05x the observed max across a few probe batches holds with
     demotion as the loud backstop (metered as exchange_overflow)."""
-    c = int(observed_max * slack) + 32
-    return max(8, min((c + 7) // 8 * 8, owner_cap(m, k)))
+    return probed_cap(observed_max, owner_cap(m, k), slack)
 
 
 def owner_counts(ids: jnp.ndarray, k: int) -> jnp.ndarray:

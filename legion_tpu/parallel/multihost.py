@@ -130,8 +130,8 @@ def _partitioned_step_fns(cfg: Config, model, caps, dist_caps=None):
         shard = HostShard(owned_ids=owned[0], sub_indptr=sp[0],
                           sub_indices=si[0], feat_rows=fr[0])
         key = jax.random.fold_in(key, jax.lax.axis_index(AXIS))
-        batch, x, _ = sample_and_fetch(shard, owner_t, key, seeds, ns,
-                                       labels)
+        batch, x, halo_ov = sample_and_fetch(shard, owner_t, key, seeds,
+                                             ns, labels)
         out = model.apply({"params": params},
                           tuple(reversed(batch.blocks)), x,
                           deterministic=True)
@@ -145,8 +145,11 @@ def _partitioned_step_fns(cfg: Config, model, caps, dist_caps=None):
         else:
             pred = jnp.argmax(out, axis=-1)
             a, b = jnp.sum((pred == batch.labels) & mask), jnp.sum(mask)
+        # eval drops are as silent-accuracy-corrupting as train drops:
+        # surface them (same loud contract)
         return (jax.lax.psum(a.astype(jnp.float32), AXIS),
-                jax.lax.psum(b.astype(jnp.float32), AXIS))
+                jax.lax.psum(b.astype(jnp.float32), AXIS),
+                jax.lax.psum(halo_ov, AXIS))
 
     def epoch_scan(state, owned, sp, si, fr, owner_t, seeds_epoch,
                    num_seeds, labels_epoch):
@@ -168,18 +171,19 @@ def _partitioned_step_fns(cfg: Config, model, caps, dist_caps=None):
     def eval_scan(params, owned, sp, si, fr, owner_t, seeds_epoch,
                   counts, labels_epoch, key):
         def body(carry, xs):
-            a_s, b_s = carry
+            a_s, b_s, o_s = carry
             seeds, nb, labels, k = xs
-            a, b = eval_step(params, owned, sp, si, fr, owner_t, seeds,
-                             nb, labels, k)
-            return (a_s + a, b_s + b), None
+            a, b, ov = eval_step(params, owned, sp, si, fr, owner_t,
+                                 seeds, nb, labels, k)
+            return (a_s + a, b_s + b, o_s + ov), None
 
         steps = seeds_epoch.shape[0]
         keys = jax.random.split(key, steps)
-        (a, b), _ = jax.lax.scan(
-            body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
+        (a, b, ov), _ = jax.lax.scan(
+            body, (jnp.zeros((), jnp.float32),
+                   jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
             (seeds_epoch, counts[:, 0], labels_epoch, keys))
-        return a, b
+        return a, b, ov
 
     return step, eval_step, epoch_scan, eval_scan
 
@@ -204,40 +208,35 @@ def probe_dist_caps(indptr, indices, partition: np.ndarray, shards,
     function of the partition's boundary sets; realized per-batch counts
     concentrate well below them, so probing a few batches and capping at
     ``slack`` x the max is the frontier-cap discipline applied to the
-    halo). Engine choice cannot change frontier composition statistics,
-    so the host sampler stands in for the mesh program.
+    halo; frontier regrow via cache.hotness.host_frontier_probe, the
+    shared probe engine).
 
+    The caller must probe at the LARGEST batch the caps will serve
+    (train AND eval — make_partitioned_epoch_fns shares one cap set).
     Returns len K-1 static caps (distance r bound at index r-1),
     8-aligned, clipped to the frontier cap."""
-    from legion_tpu import runtime
-    indptr = np.ascontiguousarray(np.asarray(indptr), np.int64)
-    indices = np.ascontiguousarray(np.asarray(indices), np.int32)
+    from legion_tpu.cache.hotness import host_frontier_probe
+    from legion_tpu.parallel.feature_exchange import probed_cap
     rng = np.random.default_rng(seed * 7907 + 3)
     dmax = np.zeros(k, np.int64)
+
     for bi in range(probes):
         for i in range(k):
             ids = np.asarray(shards[i])
             if not len(ids):
                 continue
-            frontier = rng.permutation(ids)[:batch].astype(np.int64)
-            for hop, f in enumerate(fanouts):
+
+            def visit(hop, frontier, i=i):
                 dist = (partition[frontier] - i) % k
-                dmax = np.maximum(dmax, np.bincount(dist, minlength=k))
-                nbrs = runtime.sample_neighbors(
-                    indptr, indices, frontier.astype(np.int32), f,
-                    seed=1300 + bi * 997 + i * 31 + hop)
-                grown = np.unique(np.concatenate(
-                    [frontier, nbrs[nbrs >= 0].astype(np.int64)]))
-                if len(grown) > caps[hop + 1]:
-                    grown = grown[rng.permutation(len(grown))
-                                  [: caps[hop + 1]]]
-                frontier = grown
-            dist = (partition[frontier] - i) % k
-            dmax = np.maximum(dmax, np.bincount(dist, minlength=k))
-    return tuple(
-        max(8, min((int(dmax[r] * slack) + 32 + 7) // 8 * 8,
-                   int(caps[-1])))
-        for r in range(1, k))
+                np.maximum(dmax, np.bincount(dist, minlength=k),
+                           out=dmax)
+
+            host_frontier_probe(
+                indptr, indices,
+                [rng.permutation(ids)[:batch]], fanouts, caps, visit,
+                rng, seed_base=1300 + (bi * k + i) * 1009)
+    return tuple(probed_cap(int(dmax[r]), caps[-1], slack)
+                 for r in range(1, k))
 
 
 def make_partitioned_train_step(cfg: Config, model, caps, mesh: Mesh,
@@ -270,8 +269,13 @@ def make_partitioned_train_step(cfg: Config, model, caps, mesh: Mesh,
         parts = HostShard.build(indptr, indices, features, partition, k)
         stacked = [np.stack([p[i] for p in parts]) for i in range(4)]
         sh = NamedSharding(mesh, P(AXIS))
+        # the psum path never reads the owner table — don't pin (N,)
+        # bytes of HBM per chip for an ignored argument
+        owner = (owner_table(partition, mesh) if dist_caps is not None
+                 else jax.device_put(jnp.zeros(1, jnp.int8),
+                                     NamedSharding(mesh, P())))
         return tuple(jax.device_put(jnp.asarray(a), sh)
-                     for a in stacked) + (owner_table(partition, mesh),)
+                     for a in stacked) + (owner,)
 
     return jitted, put_shards
 
@@ -304,5 +308,5 @@ def make_partitioned_epoch_fns(cfg: Config, model, caps, mesh: Mesh,
                 P(None, AXIS), P())
     jit_eval = jax.jit(
         jax.shard_map(eval_scan, mesh=mesh, in_specs=ev_specs,
-                      out_specs=(P(), P())))
+                      out_specs=(P(), P(), P())))
     return jit_epoch, jit_eval

@@ -102,17 +102,26 @@ def run_partitioned_training(cfg: Config, data: GraphData, mesh=None,
 
     # exact halo exchange: probe per-distance request maxima and size
     # the non-uniform ppermute caps (VERDICT r4 #2); over-cap requests
-    # fail loudly via the halo_overflow meter below
-    owner = owner_table(part, mesh)
+    # fail loudly via the halo_overflow meters below. ONE cap set
+    # serves the train AND eval programs, so the probe runs at the
+    # larger of the two batch shapes (an eval batch above the train
+    # batch would otherwise outgrow train-probed caps).
     dist_caps = None
     if cfg.parallel.halo_exchange == "exact":
+        probe_b = max(b, cfg.sampler.eval_batch_size)
+        probe_caps = tuple(max(c, e) for c, e in zip(caps, eval_caps)) \
+            if probe_b > b else caps
         dist_caps = probe_dist_caps(
-            data.indptr, data.indices, part, shards, fanouts, caps, k,
-            b, slack=cfg.parallel.halo_cap_slack,
+            data.indptr, data.indices, part, shards, fanouts,
+            probe_caps, k, probe_b,
+            slack=cfg.parallel.halo_cap_slack,
             probes=cfg.parallel.halo_probe_batches, seed=cfg.train.seed)
         log(f"halo exact exchange: per-distance caps {dist_caps} "
-            f"(frontier cap {caps[-1]}, slack "
+            f"(frontier cap {probe_caps[-1]}, slack "
             f"{cfg.parallel.halo_cap_slack})")
+    owner = (owner_table(part, mesh) if dist_caps is not None
+             else jax.device_put(jnp.zeros(1, jnp.int8),
+                                 NamedSharding(mesh, P())))
 
     # ---- model/state (shape-only init: no graph access) -------------------
     model = build_model(cfg.model.arch, cfg.model.hidden_dim, num_classes,
@@ -153,13 +162,19 @@ def run_partitioned_training(cfg: Config, data: GraphData, mesh=None,
         lab_e = np.where(seeds_e >= 0,
                          labels_all[np.clip(seeds_e, 0, None)],
                          -1).astype(np.int32)
-        c, n = jit_eval(
+        c, n, ov = jit_eval(
             state.params, owned, sp, si, fr, owner,
             jax.device_put(interleave_shards(seeds_e), mat),
             jax.device_put(np.ascontiguousarray(counts_e.swapaxes(0, 1)),
                            mat),
             jax.device_put(interleave_shards(lab_e), mat),
             jax.device_put(jax.random.PRNGKey(12345), rep))
+        ov = int(jax.device_get(ov))
+        if ov > 0:
+            from legion_tpu.utils.logging import log_metrics
+            log_metrics({"event": "halo_overflow", "phase": "eval",
+                         "dropped_requests": ov,
+                         "hint": "raise parallel.halo_cap_slack"})
         return float(jax.device_get(c)) / max(float(jax.device_get(n)),
                                               1.0)
 

@@ -44,19 +44,19 @@ from legion_tpu.train.train_state import (
 def _probe_owner_caps(indptr, indices, seeds_batches, fanouts, caps,
                       hot_topo, hot_feat, kg, seed=0):
     """Observed per-owner request maxima for the striped exchanges
-    (VERDICT r4 #1), measured host-side: frontiers are re-grown with the
-    host sampler only (engine choice does not change frontier
-    composition statistics), then each hop's topo-hit ranks and the
-    final frontier's feature-hit ranks are histogrammed by owner chip
-    (owner = rank % Kg). Returns (per-hop topo caps, feature cap) at
-    ~1.05x the observed maxima — demotion to the host path remains the
-    loud backstop for bursts beyond the probe."""
-    from legion_tpu import runtime
+    (VERDICT r4 #1), measured host-side: frontiers are re-grown with
+    the shared probe engine (cache.hotness.host_frontier_probe), then
+    each hop's topo-hit ranks and the final frontier's feature-hit
+    ranks are histogrammed by owner chip (owner = rank % Kg). Returns
+    (per-hop topo caps, feature cap) at ~1.05x the observed maxima —
+    demotion to the host path remains the loud backstop for bursts
+    beyond the probe."""
+    from legion_tpu.cache.hotness import host_frontier_probe
     from legion_tpu.parallel.feature_exchange import probed_owner_cap
     rng = np.random.default_rng(seed * 9176 + 13)
     h = len(fanouts)
     tmax = np.zeros(h, np.int64)
-    fmax = 0
+    fmax = np.zeros(1, np.int64)
 
     def hit_ranks(hot_sorted, ids):
         if len(hot_sorted) == 0 or len(ids) == 0:
@@ -70,24 +70,19 @@ def _probe_owner_caps(indptr, indices, seeds_batches, fanouts, caps,
             return 0
         return int(np.bincount(ranks % kg, minlength=kg).max())
 
-    for bi, seeds in enumerate(seeds_batches):
-        frontier = np.asarray(seeds)[np.asarray(seeds) >= 0].astype(
-            np.int64)
-        for k, f in enumerate(fanouts):
-            tmax[k] = max(tmax[k], omax(hit_ranks(hot_topo, frontier)))
-            nbrs = runtime.sample_neighbors(
-                indptr, indices, frontier.astype(np.int32), f,
-                seed=7700 + bi * 131 + k)
-            grown = np.unique(np.concatenate(
-                [frontier, nbrs[nbrs >= 0].astype(np.int64)]))
-            if len(grown) > caps[k + 1]:
-                grown = grown[rng.permutation(len(grown))[: caps[k + 1]]]
-            frontier = grown
-        fmax = max(fmax, omax(hit_ranks(hot_feat, frontier)))
+    def visit(hop, frontier):
+        if hop < h:
+            tmax[hop] = max(tmax[hop],
+                            omax(hit_ranks(hot_topo, frontier)))
+        else:
+            fmax[0] = max(fmax[0], omax(hit_ranks(hot_feat, frontier)))
+
+    host_frontier_probe(indptr, indices, seeds_batches, fanouts, caps,
+                        visit, rng, seed_base=7700 + seed * 131)
 
     tcaps = tuple(probed_owner_cap(int(tmax[k]), caps[k], kg)
                   for k in range(h))
-    return tcaps, probed_owner_cap(int(fmax), caps[-1], kg)
+    return tcaps, probed_owner_cap(int(fmax[0]), caps[-1], kg)
 
 
 def run_striped_hybrid_training(cfg: Config, data: GraphData, mesh=None,

@@ -83,7 +83,7 @@ def main():
 
     ndev = len(jax.devices())
     results, results_part, results_striped = {}, {}, {}
-    striped_hit, striped_demoted = {}, {}
+    striped_hit, striped_demoted, part_overflow = {}, {}, {}
     sizes = [k for k in (1, 2, 4, 8, 16) if k <= ndev]
     ids = np.asarray(data.train_ids)
     rng = np.random.default_rng(0)
@@ -133,13 +133,22 @@ def main():
         pnb = jax.device_put(np.full((k,), b, np.int32), psh)
         pstate, m = pstep(pstate, *shard_args, ps, pnb, pl)
         _ = float(m["loss"])
+        halo_ov = int(m.get("halo_overflow", 0))
         t0 = time.perf_counter()
         for _i in range(reps):
             pstate, m = pstep(pstate, *shard_args, ps, pnb, pl)
         e = float(m["edges"]); _ = float(m["loss"])
+        halo_ov += int(m.get("halo_overflow", 0))
         dt = (time.perf_counter() - t0) / reps
         results_part[k] = e / dt
-        print(f"{k} chips partitioned: {e / dt:.3e} edges/s",
+        part_overflow[k] = halo_ov
+        if halo_ov:
+            print(f"WARNING: {k}-chip partitioned leg dropped {halo_ov} "
+                  "halo requests (probed caps too tight for this seed "
+                  "distribution) — partitioned numbers understate comm",
+                  file=sys.stderr, flush=True)
+        print(f"{k} chips partitioned: {e / dt:.3e} edges/s "
+              f"(halo_overflow={halo_ov})",
               file=sys.stderr, flush=True)
 
         # ---- Kg-striped hot cache at the same size (whole mesh = one
@@ -217,6 +226,8 @@ def main():
                                  for k, v in results_part.items()},
         "partitioned_vs_dp": {str(k): round(v, 3)
                               for k, v in ratio.items()},
+        "partitioned_halo_overflow": {str(k): v
+                                      for k, v in part_overflow.items()},
         "striped_per_size": {str(k): round(v, 1)
                              for k, v in results_striped.items()},
         "striped_hit_rate": {str(k): round(v, 3)
