@@ -310,6 +310,10 @@ def main():
         "step_ms": round(step_ms, 2),
         "roof_ms": round(float(roof["total"]), 2),
         "sol_frac": round(float(sol), 3),
+        # per-stage roof (ms) so a sol_frac regression is attributable
+        # from the artifact alone (stage rates: tools/sol_model.py)
+        "roof_stages_ms": {k: round(float(v), 2) for k, v in roof.items()
+                           if k != "total"},
         "kernel_gate": kernel_gate,
         "kernels": kernels,
     }))

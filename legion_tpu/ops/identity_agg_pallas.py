@@ -33,10 +33,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# dst rows per grid step. 64 beats 128/256 on-chip (228 vs 180/166 GB/s
-# standalone, tools/bench_agg_tile.py): smaller tiles pipeline the
-# row-DMA against the mask-build + MXU contraction at finer grain.
+# dst rows per grid step. 64 is the compatibility floor (every caller's
+# row count is 64-aligned; used by the supported() checks). IN-STEP the
+# 128 tile measured consistently faster on the identity path (r5 A/B,
+# 3 interleaved pairs at bench shapes: 16.57-16.58 vs 16.62-16.65
+# ms/step — fewer grid steps amortize the per-tile mask build), while
+# the STANDALONE tile study preferred 64 (228 vs 180 GB/s,
+# tools/bench_agg_tile.py) — dispatch overhead skews standalone numbers
+# toward small tiles. The kernel therefore upgrades to 128 whenever the
+# row count divides and the DMA ring fits VMEM (see _pick_tile);
+# explicit tile_p / LEGION_AGG_TILE override both.
 TILE_P = 64
+_TILE_P_FAST = 128
 
 
 def _kernel(x_hbm, mask_ref, out_ref, scratch, sems, band_ref, *,
@@ -98,6 +106,18 @@ def _kernel(x_hbm, mask_ref, out_ref, scratch, sems, band_ref, *,
 _SCRATCH_VMEM_LIMIT = 8 << 20
 
 
+def _pick_tile(p: int, fanout: int, d: int, itemsize: int,
+               ring: int) -> int:
+    """Fast tile when the row count divides and the ring fits VMEM;
+    TILE_P (the compatibility floor callers' supported() checks assume)
+    otherwise."""
+    if (p % _TILE_P_FAST == 0
+            and ring * _TILE_P_FAST * fanout * d * itemsize
+            <= _SCRATCH_VMEM_LIMIT):
+        return _TILE_P_FAST
+    return TILE_P
+
+
 def supported(x: jnp.ndarray, nbr_mask: jnp.ndarray,
               identity_offset: int) -> bool:
     p, f = nbr_mask.shape
@@ -119,7 +139,7 @@ def identity_masked_mean_pallas(x: jnp.ndarray, nbr_mask: jnp.ndarray,
                                 out_dtype=jnp.bfloat16,
                                 norm: str = "mean",
                                 interpret: bool = False,
-                                tile_p: int = TILE_P,
+                                tile_p: int | None = None,
                                 ring: int | None = None) -> jnp.ndarray:
     """out[d] = reduce over valid slots j of x[identity_offset + d*f + j].
 
@@ -138,12 +158,23 @@ def identity_masked_mean_pallas(x: jnp.ndarray, nbr_mask: jnp.ndarray,
     # 1 must be aligned to tiling (128), but is 47") — verified on-chip;
     # interpret mode does not catch it. Callers pad the lane dim before
     # the producing op (gathered_masked_mean pads h_t pre-gather).
-    assert p % tile_p == 0 and d % 128 == 0
+    assert d % 128 == 0
     assert norm in ("mean", "sqrt", "sum")
-    tpf = tile_p * fanout
+    import os
     if ring is None:
-        import os
         ring = int(os.environ.get("LEGION_AGG_RING", "3"))
+    if tile_p is None:
+        # A/B knob (like LEGION_AGG_RING): honored only when the row
+        # count divides — the layer-2 gathered path (P = batch, not
+        # 128-aligned) keeps the picked tile rather than losing the
+        # kernel. An explicit tile_p argument bypasses both.
+        env_tile = int(os.environ.get("LEGION_AGG_TILE", "0"))
+        if env_tile > 0 and p % env_tile == 0:
+            tile_p = env_tile
+        else:
+            tile_p = _pick_tile(p, fanout, d, x.dtype.itemsize, ring)
+    assert p % tile_p == 0
+    tpf = tile_p * fanout
 
     return pl.pallas_call(
         functools.partial(_kernel, prefix=identity_offset,
