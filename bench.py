@@ -264,7 +264,10 @@ def main():
             f"{k}={v:.2f}" for k, v in roof.items())
             + f"; measured {step_ms:.2f} -> sol_frac {sol:.2f}")
     except Exception as exc:  # never lose the headline to the roof
-        roof, sol = {"total": float("nan")}, float("nan")
+        # None (-> JSON null), NOT float('nan'): json.dumps emits the
+        # token `NaN`, which strict JSON consumers reject — corrupting
+        # the whole one-line artifact the guard exists to protect.
+        roof, sol = {"total": None}, None
         log(f"roof model errored: {exc}")
 
     # Baseline (scatter-SpMM port) is deterministic given shapes; its
@@ -308,8 +311,9 @@ def main():
         "unit": "edges/s",
         "vs_baseline": round(eps_fanout / eps_coo, 3),
         "step_ms": round(step_ms, 2),
-        "roof_ms": round(float(roof["total"]), 2),
-        "sol_frac": round(float(sol), 3),
+        "roof_ms": (None if roof["total"] is None
+                    else round(float(roof["total"]), 2)),
+        "sol_frac": None if sol is None else round(float(sol), 3),
         # per-stage roof (ms) so a sol_frac regression is attributable
         # from the artifact alone (stage rates: tools/sol_model.py)
         "roof_stages_ms": {k: round(float(v), 2) for k, v in roof.items()

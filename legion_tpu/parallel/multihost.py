@@ -188,11 +188,21 @@ def _partitioned_step_fns(cfg: Config, model, caps, dist_caps=None):
     return step, eval_step, epoch_scan, eval_scan
 
 
-def owner_table(partition: np.ndarray, mesh: Mesh) -> jnp.ndarray:
+def owner_table(partition: np.ndarray, mesh: Mesh,
+                enabled: bool = True) -> jnp.ndarray:
     """Replicated (N,) int8 partition-id table — the requester-side
     owner lookup of the exact halo exchange (the reference keeps a dense
     (N,) position map per GPU for the same reason, src/Server.cu:222;
-    int8 bounds it to N bytes per chip for K <= 127)."""
+    int8 bounds it to N bytes per chip for K <= 127).
+
+    enabled=False (the psum exchange, which needs no owner lookup)
+    returns the 1-element replicated placeholder the step signature
+    still expects — kept HERE so the dtype/sharding contract has one
+    home (callers: make_partitioned_train_step.put_shards and the
+    partitioned driver)."""
+    if not enabled:
+        return jax.device_put(jnp.zeros(1, jnp.int8),
+                              NamedSharding(mesh, P()))
     assert int(partition.max(initial=0)) < 127
     return jax.device_put(jnp.asarray(partition.astype(np.int8)),
                           NamedSharding(mesh, P()))
@@ -271,9 +281,8 @@ def make_partitioned_train_step(cfg: Config, model, caps, mesh: Mesh,
         sh = NamedSharding(mesh, P(AXIS))
         # the psum path never reads the owner table — don't pin (N,)
         # bytes of HBM per chip for an ignored argument
-        owner = (owner_table(partition, mesh) if dist_caps is not None
-                 else jax.device_put(jnp.zeros(1, jnp.int8),
-                                     NamedSharding(mesh, P())))
+        owner = owner_table(partition, mesh,
+                            enabled=dist_caps is not None)
         return tuple(jax.device_put(jnp.asarray(a), sh)
                      for a in stacked) + (owner,)
 

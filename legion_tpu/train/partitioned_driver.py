@@ -111,17 +111,27 @@ def run_partitioned_training(cfg: Config, data: GraphData, mesh=None,
         probe_b = max(b, cfg.sampler.eval_batch_size)
         probe_caps = tuple(max(c, e) for c, e in zip(caps, eval_caps)) \
             if probe_b > b else caps
-        dist_caps = probe_dist_caps(
-            data.indptr, data.indices, part, shards, fanouts,
+        # probe every seed COMPOSITION the caps will serve, not just the
+        # largest batch shape: valid/test seeds can concentrate on
+        # partition-boundary nodes with a different per-distance skew
+        # than train seeds, and eval runs through the same cap set
+        # (over-cap eval rows would come back zeroed — loudly metered,
+        # but the probe should prevent it, not the meter catch it)
+        shard_sets = [shards] + [
+            shard_node_set(ids_e, k, part)
+            for ids_e in (np.asarray(data.valid_ids),
+                          np.asarray(data.test_ids)) if len(ids_e)]
+        cap_sets = [probe_dist_caps(
+            data.indptr, data.indices, part, ss, fanouts,
             probe_caps, k, probe_b,
             slack=cfg.parallel.halo_cap_slack,
             probes=cfg.parallel.halo_probe_batches, seed=cfg.train.seed)
+            for ss in shard_sets]
+        dist_caps = tuple(max(c) for c in zip(*cap_sets))
         log(f"halo exact exchange: per-distance caps {dist_caps} "
             f"(frontier cap {probe_caps[-1]}, slack "
             f"{cfg.parallel.halo_cap_slack})")
-    owner = (owner_table(part, mesh) if dist_caps is not None
-             else jax.device_put(jnp.zeros(1, jnp.int8),
-                                 NamedSharding(mesh, P())))
+    owner = owner_table(part, mesh, enabled=dist_caps is not None)
 
     # ---- model/state (shape-only init: no graph access) -------------------
     model = build_model(cfg.model.arch, cfg.model.hidden_dim, num_classes,

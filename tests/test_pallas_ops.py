@@ -179,3 +179,19 @@ def test_gathered_masked_mean_and_vjp():
     g_ref = jax.grad(lambda x: jnp.sum(ref(x) * w))(hj)
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_pick_tile_adaptive_default():
+    """The kernel upgrades to the fast tile only when the row count
+    divides and the DMA ring fits VMEM (r5 in-step A/B: 128 beats the
+    standalone-tuned 64 on the identity path)."""
+    from legion_tpu.ops.identity_agg_pallas import (_SCRATCH_VMEM_LIMIT,
+                                                    _TILE_P_FAST, TILE_P,
+                                                    _pick_tile)
+    # bench identity path: P = 122240 (128-divisible), f=10, D=128 f32
+    assert _pick_tile(122240, 10, 128, 4, 3) == _TILE_P_FAST
+    # layer-2 gathered path: P = batch 8000 -> not 128-divisible
+    assert _pick_tile(8000, 10, 128, 4, 3) == TILE_P
+    # VMEM overflow at the fast tile falls back to the floor
+    wide = _SCRATCH_VMEM_LIMIT // (3 * _TILE_P_FAST * 10 * 4) + 128
+    assert _pick_tile(122240, 10, wide, 4, 3) == TILE_P

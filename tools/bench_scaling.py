@@ -133,12 +133,16 @@ def main():
         pnb = jax.device_put(np.full((k,), b, np.int32), psh)
         pstate, m = pstep(pstate, *shard_args, ps, pnb, pl)
         _ = float(m["loss"])
-        halo_ov = int(m.get("halo_overflow", 0))
+        # accumulate overflow across EVERY rep (each rep samples under a
+        # different step key, so any rep can drop) — as device adds, so
+        # the timed loop stays free of host fetches
+        ov_dev = m.get("halo_overflow", jnp.zeros((), jnp.int32))
         t0 = time.perf_counter()
         for _i in range(reps):
             pstate, m = pstep(pstate, *shard_args, ps, pnb, pl)
+            ov_dev = ov_dev + m.get("halo_overflow", 0)
         e = float(m["edges"]); _ = float(m["loss"])
-        halo_ov += int(m.get("halo_overflow", 0))
+        halo_ov = int(ov_dev)
         dt = (time.perf_counter() - t0) / reps
         results_part[k] = e / dt
         part_overflow[k] = halo_ov

@@ -89,6 +89,17 @@ def main():
                          "maxima when probing the exact halo caps")
     args = ap.parse_args()
 
+    # Snapshot which tuning flags were explicitly set BEFORE any
+    # auto-derivation mutates args (cache_group below) — used by the
+    # --config branch's ignored-flags warning.
+    non_default_flags = [n for n in (
+        "arch", "hidden_dim", "dropout", "dtype", "fanouts",
+        "batch_size", "lr", "epochs", "seed", "cache_budget_gb",
+        "cache_group", "features", "topology", "halo_exchange",
+        "halo_cap_slack", "checkpoint_dir", "profile_dir",
+        "devices", "dataset", "data_dir", "synthetic")
+        if getattr(args, n, None) != ap.get_default(n)]
+
     # Auto cache-group (reference: cache_agg_mode derived from detected
     # NVLink topology + GPU count, legion_server.py:61-68). Default Kg =
     # the largest divisor of the mesh size that fits inside this
@@ -126,6 +137,16 @@ def main():
         with open(args.config) as f:
             cfg = Config.from_json(f.read())
         data = load_dataset(cfg.dataset.path)
+        # --config is the whole Config: any tuning flag also passed on
+        # the command line is NOT merged (the no-silently-ignored-flags
+        # contract below applies here too — say so by name)
+        ignored = non_default_flags
+        if ignored:
+            print("WARNING: --config supplies the whole Config; these "
+                  "command-line flags are ignored: "
+                  + ", ".join("--" + n.replace("_", "-")
+                              for n in ignored),
+                  file=sys.stderr, flush=True)
     else:
         fanouts = tuple(int(x) for x in args.fanouts.split(","))
         if args.synthetic:
@@ -204,8 +225,9 @@ def main():
     def warn(msg):
         print(f"WARNING: {msg}", file=sys.stderr, flush=True)
 
-    if not getattr(args, "partitioned", False) and (
-            args.halo_exchange != "exact" or args.halo_cap_slack != 1.3):
+    if not getattr(args, "partitioned", False) and not args.config and (
+            args.halo_exchange != ap.get_default("halo_exchange")
+            or args.halo_cap_slack != ap.get_default("halo_cap_slack")):
         warn("--halo-exchange/--halo-cap-slack apply only to "
              "--partitioned (ignored by this driver)")
     if getattr(args, "partitioned", False):
