@@ -304,3 +304,72 @@ def test_two_process_launch_matches_single_process(small_graph):
                                ref["history"][0]["valid"], rtol=1e-6)
     np.testing.assert_allclose(recs[0]["test_acc"], ref["test_acc"],
                                rtol=1e-6)
+
+
+def test_probe_covers_eval_seed_composition(small_graph):
+    """The exact-halo cap probe must cover every seed COMPOSITION the
+    one cap set serves (r5 review finding): valid/test sets can
+    concentrate on partition-boundary nodes with a different
+    per-distance skew than train seeds. The driver probes train + valid
+    + test shard compositions and takes the element-wise max; eval must
+    run with zero halo overflow even for an adversarial valid set."""
+    import dataclasses
+    import re
+
+    from legion_tpu.config import ParallelConfig
+    from legion_tpu.parallel.multihost import probe_dist_caps
+    from legion_tpu.sampling.seeds import shard_node_set
+    from legion_tpu.train.partitioned_driver import run_partitioned_training
+
+    k = 4
+    part = partition_graph(small_graph, k, mode="greedy")
+    # adversarial valid set: the partition-0 nodes with the LARGEST
+    # remote in-neighborhoods (their hop requests skew hardest across
+    # the ring, unlike the spread-out train shards)
+    indptr = np.asarray(small_graph.indptr)
+    indices = np.asarray(small_graph.indices)
+    remote_deg = np.zeros(small_graph.num_nodes, np.int64)
+    for v in np.nonzero(part == 0)[0]:
+        nb = indices[indptr[v]:indptr[v + 1]]
+        remote_deg[v] = int((part[nb] != 0).sum())
+    adversarial = np.argsort(-remote_deg)[:64].astype(np.int32)
+    data = dataclasses.replace(small_graph, valid_ids=adversarial)
+
+    cfg = Config(
+        dataset=DatasetConfig(num_classes=small_graph.num_classes),
+        sampler=SamplerConfig(fanouts=(4, 3), batch_size=32,
+                              eval_batch_size=32),
+        model=ModelConfig(arch="sage", hidden_dim=16, num_layers=2,
+                          dropout=0.0),
+        train=TrainConfig(learning_rate=0.01, seed=0, epochs=1),
+        parallel=ParallelConfig(num_devices=k, halo_cap_slack=1.05,
+                                halo_probe_batches=2))
+
+    events = []
+    from legion_tpu.utils import logging as tlog
+    orig = tlog.log_metrics
+    tlog.log_metrics = lambda m, **kw: events.append(m)
+    try:
+        logs = []
+        out = run_partitioned_training(cfg, data, log=logs.append)
+    finally:
+        tlog.log_metrics = orig
+
+    # no eval (or train) halo overflow despite the adversarial valid set
+    drops = [e for e in events if e.get("event") == "halo_overflow"]
+    assert not drops, drops
+    assert np.isfinite(out["history"][-1]["valid"])
+
+    # and the driver's caps must dominate a valid-composition-only probe
+    # (the pre-fix behavior probed train shards alone)
+    m = [re.search(r"per-distance caps \(([\d, ]+)\)", l)
+         for l in logs]
+    driver_caps = next(tuple(int(x) for x in g.group(1).split(","))
+                       for g in m if g)
+    caps = frontier_caps(32, (4, 3))
+    vcaps = probe_dist_caps(
+        data.indptr, data.indices, part,
+        shard_node_set(adversarial, k, part), (4, 3), caps, k, 32,
+        slack=1.05, probes=2, seed=0)
+    assert all(d >= v for d, v in zip(driver_caps, vcaps)), (
+        driver_caps, vcaps)
