@@ -225,26 +225,43 @@ def probe_dist_caps(indptr, indices, partition: np.ndarray, shards,
     (train AND eval — make_partitioned_epoch_fns shares one cap set).
     Returns len K-1 static caps (distance r bound at index r-1),
     8-aligned, clipped to the frontier cap."""
+    rng = np.random.default_rng(seed * 7907 + 3)
+    batches = [(i, rng.permutation(np.asarray(shards[i]))[:batch])
+               for bi in range(probes) for i in range(k)
+               if len(shards[i])]
+    return probe_dist_caps_batches(indptr, indices, partition, batches,
+                                   fanouts, caps, k, slack=slack,
+                                   seed=seed)
+
+
+def probe_dist_caps_batches(indptr, indices, partition: np.ndarray,
+                            batches, fanouts, caps, k: int,
+                            slack: float = 1.3,
+                            seed: int = 0) -> Tuple[int, ...]:
+    """probe_dist_caps over EXPLICIT (requester_host, seed_ids) batches
+    — for seed compositions that are deterministic rather than sampled
+    (the eval schedule's enumerated chunks, epoch_eval_seeds: probing
+    the actual batches covers eval exactly, where a random subset of
+    the shard can miss a boundary-clustered chunk)."""
     from legion_tpu.cache.hotness import host_frontier_probe
     from legion_tpu.parallel.feature_exchange import probed_cap
     rng = np.random.default_rng(seed * 7907 + 3)
     dmax = np.zeros(k, np.int64)
 
-    for bi in range(probes):
-        for i in range(k):
-            ids = np.asarray(shards[i])
-            if not len(ids):
-                continue
+    for bi, (i, ids) in enumerate(batches):
+        ids = np.asarray(ids)
+        ids = ids[ids >= 0]
+        if not len(ids):
+            continue
 
-            def visit(hop, frontier, i=i):
-                dist = (partition[frontier] - i) % k
-                np.maximum(dmax, np.bincount(dist, minlength=k),
-                           out=dmax)
+        def visit(hop, frontier, i=i):
+            dist = (partition[frontier] - i) % k
+            np.maximum(dmax, np.bincount(dist, minlength=k),
+                       out=dmax)
 
-            host_frontier_probe(
-                indptr, indices,
-                [rng.permutation(ids)[:batch]], fanouts, caps, visit,
-                rng, seed_base=1300 + (bi * k + i) * 1009)
+        host_frontier_probe(
+            indptr, indices, [ids], fanouts, caps, visit,
+            rng, seed_base=1300 + bi * 1009)
     return tuple(probed_cap(int(dmax[r]), caps[-1], slack)
                  for r in range(1, k))
 

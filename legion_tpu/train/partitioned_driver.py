@@ -30,7 +30,8 @@ from legion_tpu.models import build_model
 from legion_tpu.parallel.launch import (
     maybe_initialize_distributed, put_shards_distributed)
 from legion_tpu.parallel.multihost import (
-    AXIS, make_partitioned_epoch_fns, owner_table, probe_dist_caps)
+    AXIS, make_partitioned_epoch_fns, owner_table, probe_dist_caps,
+    probe_dist_caps_batches)
 from legion_tpu.sampling.block import Block, frontier_caps
 from legion_tpu.sampling.seeds import (
     interleave_shards,
@@ -106,6 +107,19 @@ def run_partitioned_training(cfg: Config, data: GraphData, mesh=None,
     # serves the train AND eval programs, so the probe runs at the
     # larger of the two batch shapes (an eval batch above the train
     # batch would otherwise outgrow train-probed caps).
+    def eval_schedule(ids: np.ndarray):
+        """The deterministic eval chunking — ONE definition shared by
+        the cap probe and eval_set below, so the probed batches are
+        exactly the batches eval runs."""
+        eshards = shard_node_set(ids, k, part)
+        cap = cfg.sampler.eval_batch_size
+        mx = max(max(len(s) for s in eshards), 1)
+        steps_e = (mx - 1) // cap + 1
+        per = tuple((len(s) - 1) // steps_e + 1 if len(s) else 0
+                    for s in eshards)
+        seeds_e, counts_e = epoch_eval_seeds(eshards, steps_e, per, cap)
+        return seeds_e, counts_e, steps_e
+
     dist_caps = None
     if cfg.parallel.halo_exchange == "exact":
         probe_b = max(b, cfg.sampler.eval_batch_size)
@@ -116,17 +130,29 @@ def run_partitioned_training(cfg: Config, data: GraphData, mesh=None,
         # partition-boundary nodes with a different per-distance skew
         # than train seeds, and eval runs through the same cap set
         # (over-cap eval rows would come back zeroed — loudly metered,
-        # but the probe should prevent it, not the meter catch it)
-        shard_sets = [shards] + [
-            shard_node_set(ids_e, k, part)
-            for ids_e in (np.asarray(data.valid_ids),
-                          np.asarray(data.test_ids)) if len(ids_e)]
+        # but the probe should prevent it, not the meter catch it).
+        # Train batches are random draws, so random probe subsets cover
+        # them; the eval schedule is DETERMINISTIC chunks
+        # (epoch_eval_seeds), so those exact batches are probed — a
+        # random shard subset can miss a boundary-clustered chunk.
         cap_sets = [probe_dist_caps(
-            data.indptr, data.indices, part, ss, fanouts,
+            data.indptr, data.indices, part, shards, fanouts,
             probe_caps, k, probe_b,
             slack=cfg.parallel.halo_cap_slack,
-            probes=cfg.parallel.halo_probe_batches, seed=cfg.train.seed)
-            for ss in shard_sets]
+            probes=cfg.parallel.halo_probe_batches,
+            seed=cfg.train.seed)]
+        for ids_e in (np.asarray(data.valid_ids),
+                      np.asarray(data.test_ids)):
+            if not len(ids_e):
+                continue
+            seeds_e, _, steps_e = eval_schedule(ids_e)
+            cap_sets.append(probe_dist_caps_batches(
+                data.indptr, data.indices, part,
+                [(i, seeds_e[i, t]) for t in range(steps_e)
+                 for i in range(k)],
+                fanouts, probe_caps, k,
+                slack=cfg.parallel.halo_cap_slack,
+                seed=cfg.train.seed))
         dist_caps = tuple(max(c) for c in zip(*cap_sets))
         log(f"halo exact exchange: per-distance caps {dist_caps} "
             f"(frontier cap {probe_caps[-1]}, slack "
@@ -162,13 +188,7 @@ def run_partitioned_training(cfg: Config, data: GraphData, mesh=None,
     def eval_set(ids: np.ndarray) -> float:
         if not len(ids):
             return float("nan")
-        eshards = shard_node_set(ids, k, part)
-        cap = cfg.sampler.eval_batch_size
-        mx = max(max(len(s) for s in eshards), 1)
-        steps_e = (mx - 1) // cap + 1
-        per = tuple((len(s) - 1) // steps_e + 1 if len(s) else 0
-                    for s in eshards)
-        seeds_e, counts_e = epoch_eval_seeds(eshards, steps_e, per, cap)
+        seeds_e, counts_e, _ = eval_schedule(ids)
         lab_e = np.where(seeds_e >= 0,
                          labels_all[np.clip(seeds_e, 0, None)],
                          -1).astype(np.int32)

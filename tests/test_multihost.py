@@ -317,8 +317,8 @@ def test_probe_covers_eval_seed_composition(small_graph):
     import re
 
     from legion_tpu.config import ParallelConfig
-    from legion_tpu.parallel.multihost import probe_dist_caps
-    from legion_tpu.sampling.seeds import shard_node_set
+    from legion_tpu.parallel.multihost import probe_dist_caps_batches
+    from legion_tpu.sampling.seeds import epoch_eval_seeds, shard_node_set
     from legion_tpu.train.partitioned_driver import run_partitioned_training
 
     k = 4
@@ -360,16 +360,22 @@ def test_probe_covers_eval_seed_composition(small_graph):
     assert not drops, drops
     assert np.isfinite(out["history"][-1]["valid"])
 
-    # and the driver's caps must dominate a valid-composition-only probe
-    # (the pre-fix behavior probed train shards alone)
+    # and the driver's caps must dominate a probe of the ACTUAL eval
+    # chunks (the deterministic epoch_eval_seeds schedule — what eval
+    # runs; the pre-fix behavior probed random train-shard subsets only)
     m = [re.search(r"per-distance caps \(([\d, ]+)\)", l)
          for l in logs]
     driver_caps = next(tuple(int(x) for x in g.group(1).split(","))
                        for g in m if g)
     caps = frontier_caps(32, (4, 3))
-    vcaps = probe_dist_caps(
+    eshards = shard_node_set(adversarial, k, part)
+    steps_e = (max(max(len(s) for s in eshards), 1) - 1) // 32 + 1
+    per = tuple((len(s) - 1) // steps_e + 1 if len(s) else 0
+                for s in eshards)
+    seeds_e, _ = epoch_eval_seeds(eshards, steps_e, per, 32)
+    vcaps = probe_dist_caps_batches(
         data.indptr, data.indices, part,
-        shard_node_set(adversarial, k, part), (4, 3), caps, k, 32,
-        slack=1.05, probes=2, seed=0)
+        [(i, seeds_e[i, t]) for t in range(steps_e) for i in range(k)],
+        (4, 3), caps, k, slack=1.05, seed=0)
     assert all(d >= v for d, v in zip(driver_caps, vcaps)), (
         driver_caps, vcaps)

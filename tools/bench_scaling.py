@@ -135,15 +135,22 @@ def main():
         _ = float(m["loss"])
         # accumulate overflow across EVERY rep (each rep samples under a
         # different step key, so any rep can drop) — as device adds, so
-        # the timed loop stays free of host fetches
-        ov_dev = m.get("halo_overflow", jnp.zeros((), jnp.int32))
+        # the timed loop stays free of host fetches; the add itself is
+        # warmed (compiled) before t0, and the single accumulated-scalar
+        # fetch happens AFTER dt is captured
+        ov_dev = (m.get("halo_overflow", jnp.zeros((), jnp.int32))
+                  + jnp.zeros((), jnp.int32))
         t0 = time.perf_counter()
         for _i in range(reps):
             pstate, m = pstep(pstate, *shard_args, ps, pnb, pl)
             ov_dev = ov_dev + m.get("halo_overflow", 0)
+        # the edges/loss fetches ARE the sync (same idiom as the DP leg
+        # above: block_until_ready is unreliable on this platform); only
+        # the overflow fetch — an EXTRA round-trip — waits until after
+        # dt is captured
         e = float(m["edges"]); _ = float(m["loss"])
-        halo_ov = int(ov_dev)
         dt = (time.perf_counter() - t0) / reps
+        halo_ov = int(ov_dev)
         results_part[k] = e / dt
         part_overflow[k] = halo_ov
         if halo_ov:

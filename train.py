@@ -136,7 +136,14 @@ def main():
     if args.config:
         with open(args.config) as f:
             cfg = Config.from_json(f.read())
-        data = load_dataset(cfg.dataset.path)
+        # same precomputed-partition rule as the flags path below: a
+        # partition_<k>_bn in the dataset dir is honored, not silently
+        # re-partitioned (src/GPUGraphStore.cu:324-339)
+        data = load_dataset(
+            cfg.dataset.path,
+            partition_count=(cfg.parallel.num_devices
+                             if getattr(args, "partitioned", False)
+                             and cfg.parallel.num_devices > 1 else None))
         # --config is the whole Config: any tuning flag also passed on
         # the command line is NOT merged (the no-silently-ignored-flags
         # contract below applies here too — say so by name)
@@ -214,7 +221,11 @@ def main():
                                     halo_cap_slack=args.halo_cap_slack),
         )
 
-    topo_host = (getattr(args, "topology", "hbm") == "host"
+    # --config supplies the whole Config (the warning above lists every
+    # ignored CLI flag, --topology included) — only the config's own
+    # topology placement drives dispatch on that path
+    topo_host = ((not args.config
+                  and getattr(args, "topology", "hbm") == "host")
                  or cfg.dataset.topology_placement == "host")
     multi = cfg.parallel.num_devices != 1
     print(cfg.to_json())
