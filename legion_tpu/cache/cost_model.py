@@ -75,6 +75,14 @@ def solve_cost_model(node_hot: np.ndarray, edge_hot: np.ndarray,
     # Placement-restricted sweep: uncacheable sides save zero bytes AND
     # take zero budget (a single pinned alpha, not just zeroed savings —
     # otherwise ties could still strand budget on the dead side).
+    if not feat_cacheable and not topo_cacheable:
+        # both sides HBM-resident: nothing to cache, zero budget to both
+        # (the single-side branches below would otherwise hand the full
+        # budget to the feature side and report phantom savings)
+        return CachePlanResult(
+            feat_order=feat_order, topo_order=topo_order,
+            feat_capacity=0, topo_capacity=0, alpha=0.0,
+            saved_feat_bytes=0.0, saved_topo_bytes=0.0)
     if not topo_cacheable:
         total_topo_bytes = 0.0
         alphas = [0]

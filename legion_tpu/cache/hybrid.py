@@ -51,7 +51,18 @@ class HybridSampler:
 
     def sample_batch(self, key: jax.Array, seeds: jnp.ndarray,
                      num_seeds, labels: jnp.ndarray,
-                     host_seed: int = 0) -> SampledBatch:
+                     host_seed: int | None = None) -> SampledBatch:
+        if host_seed is None:
+            # derive the host leg's seed from the device key so repeated
+            # calls vary the cold draws too — a fixed default would
+            # silently replay identical host-side neighbors every batch
+            # (the production trainers thread an explicit per-step seed;
+            # this guards the naive exported API)
+            try:
+                kd = jax.random.key_data(key)
+            except Exception:
+                kd = key
+            host_seed = int(np.asarray(kd).ravel()[-1]) & 0x7FFFFFFF
         caps = self.caps
         frontier = jnp.full((caps[0],), -1, jnp.int32).at[
             : seeds.shape[0]].set(seeds)
@@ -328,7 +339,7 @@ class HybridTrainer:
                                    staged)
             a_acc = a_acc + a.astype(jnp.float32)
             b_acc = b_acc + bb.astype(jnp.float32)
+        # LP and accuracy aggregate identically (sum / count) — see
+        # train.loop.lp_logsigmoid_sum
         a_sum = float(jax.device_get(a_acc))
-        if self.is_lp:
-            return a_sum / max(steps, 1)
         return a_sum / max(float(jax.device_get(b_acc)), 1.0)

@@ -28,7 +28,8 @@ import numpy as np
 from legion_tpu.cache.feature_cache import FeatureCache
 from legion_tpu.config import Config
 from legion_tpu.sampling.sampler import DeviceGraph, sample_batch
-from legion_tpu.train.loop import lp_logsigmoid_loss, masked_softmax_ce
+from legion_tpu.train.loop import (lp_logsigmoid_loss, lp_logsigmoid_sum,
+                                   masked_softmax_ce)
 from legion_tpu.train.train_state import TrainState
 
 
@@ -71,7 +72,9 @@ def make_cache_step_fns(cfg: Config, model):
         out = out[: batch.seed_cap]
         mask = batch.seed_mask()
         if is_lp:
-            return lp_logsigmoid_loss(out, mask), jnp.sum(mask)
+            # (loss SUM, valid-pair count): the caller's a/b is the
+            # pair-weighted mean — same aggregation as accuracy
+            return lp_logsigmoid_sum(out, mask)
         pred = jnp.argmax(out, axis=-1)
         return jnp.sum((pred == batch.labels) & mask), jnp.sum(mask)
 
@@ -218,8 +221,9 @@ class CachedTrainer:
             b = b.astype(jnp.float32)
             a_acc = a if a_acc is None else a_acc + a
             b_acc = b if b_acc is None else b_acc + b
+        # LP and accuracy aggregate identically: a = sum (pair losses /
+        # correct predictions), b = count (pairs / masked seeds) — a/b
+        # weights partial final batches by their real contents
         a_sum = float(jax.device_get(a_acc)) if steps else 0.0
-        if self.is_lp:
-            return a_sum / max(steps, 1)
         return a_sum / max(float(jax.device_get(b_acc)), 1.0) if steps \
             else float("nan")

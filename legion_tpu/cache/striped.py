@@ -92,6 +92,12 @@ class StripedFeatureCache(NamedTuple):
             jnp.asarray(hot), NamedSharding(mesh, P()))
         if owner_cap_rows is not None:
             assert owner_cap_rows > 0, owner_cap_rows
+        if k <= 1:
+            # a 1-chip cache axis never exchanges: plan_ids skips the
+            # over-cap demotion there, so the fetch must not cap either
+            # (an orphaned cap would silently zero hits ranked past it
+            # — the demotion mask and the fetch routing must agree)
+            owner_cap_rows = None
         return cls(hot_ids=hot_ids, rows=rows, miss_cap=int(miss_cap),
                    group_size=int(k),
                    owner_cap_rows=(None if owner_cap_rows is None
@@ -281,7 +287,10 @@ class StripedTopoCache(NamedTuple):
         request's GLOBAL index rides along as payload so the owner
         draws u[(requester, j)] from the same (K*M, fanout) grid as v1
         — draws are bit-identical across exchange strategies AND group
-        sizes. Requests beyond the owner cap are DEMOTED to misses
+        sizes, PROVIDED every chip of the cache group passes the SAME
+        key (the u grid is group-wide; StripedHybridTrainer therefore
+        folds only the data axis into this hop's key, never the cache
+        axis). Requests beyond the owner cap are DEMOTED to misses
         (hit=False) and fall to the host sampler: correct under any
         skew, visible as a lower hot fraction.
         """

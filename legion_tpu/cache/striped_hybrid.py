@@ -42,7 +42,8 @@ from legion_tpu.cache.feature_cache import FeatureCache
 from legion_tpu.cache.striped import StripedFeatureCache, StripedTopoCache
 from legion_tpu.config import Config
 from legion_tpu.sampling.sampler import grow_frontier
-from legion_tpu.train.loop import lp_logsigmoid_loss, masked_softmax_ce
+from legion_tpu.train.loop import (lp_logsigmoid_loss, lp_logsigmoid_sum,
+                                   masked_softmax_ce)
 from legion_tpu.train.train_state import TrainState
 
 MESH_AXES = ("data", "cache")
@@ -75,6 +76,12 @@ class StripedHybridTrainer:
         self.fcache = fcache
         self.mesh = mesh
         self.n_shards = mesh.devices.size
+        # fail at construction, not after presample/cache-build minutes
+        # (StripedFeatureCache has no .stage fallback, unlike the
+        # single-chip HybridTrainer's cache)
+        assert host_stage is not None, (
+            "StripedHybridTrainer needs host_stage (the host-RAM miss "
+            "stager, e.g. FeatureCache.stage)")
         self.host_stage = host_stage
         self.is_lp = cfg.model.arch == "lp_sage"
         self._SampledBatch = SampledBatch
@@ -108,10 +115,26 @@ class StripedHybridTrainer:
                 key = jax.random.fold_in(key, _flat_index())
             return key
 
+        def fold_data(key):
+            # cache-group-SHARED key for the hot-hop exchange: the u
+            # grid of sample_hot spans the whole group (v1 grid, one
+            # row per (chip, slot) request), so intra-group consistency
+            # — and the "draws bit-identical across group sizes"
+            # contract — requires ONE key per cache group; decorrelate
+            # only across the data axis. (A per-chip fold here made the
+            # owner draw from a different u table than the requester's
+            # grid index refers to: still uniform, but Kg-dependent.)
+            # Skipped when the data axis is 1 (bit-identical schedule
+            # to the single-chip HybridTrainer at 1x1).
+            if mesh.shape["data"] > 1:
+                key = jax.random.fold_in(
+                    key, jax.lax.axis_index("data"))
+            return key
+
         def hot_hop(hot_t, sp, si, key, k, frontier, fanout):
             # hop key: fold_in(batch_key, hop) [HybridTrainer schedule],
-            # then per-chip decorrelation
-            hk = fold_shard(jax.random.fold_in(key, k))
+            # then data-axis-only decorrelation (see fold_data)
+            hk = fold_data(jax.random.fold_in(key, k))
             return StripedTopoCache.sample_hot(hot_t, sp, si, hk,
                                                frontier, fanout,
                                                cap=tcaps[k])
@@ -218,7 +241,9 @@ class StripedHybridTrainer:
             out = out[: batch.seed_cap]
             mask = batch.seed_mask()
             if self.is_lp:
-                a, b = lp_logsigmoid_loss(out, mask), jnp.sum(mask)
+                # (loss SUM, valid-pair count): a/b after the psum is
+                # the pair-weighted mean across shards AND steps
+                a, b = lp_logsigmoid_sum(out, mask)
             else:
                 pred = jnp.argmax(out, axis=-1)
                 a, b = jnp.sum((pred == batch.labels) & mask), jnp.sum(mask)
@@ -419,7 +444,7 @@ class StripedHybridTrainer:
             bb = bb.astype(jnp.float32)
             a_acc = a if a_acc is None else a_acc + a
             b_acc = bb if b_acc is None else b_acc + bb
+        # LP and accuracy aggregate identically (sum / count) — see
+        # train.loop.lp_logsigmoid_sum
         a_sum = float(jax.device_get(a_acc))
-        if self.is_lp:
-            return a_sum / max(steps * max(n, 1), 1)
         return a_sum / max(float(jax.device_get(b_acc)), 1.0)

@@ -42,7 +42,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from legion_tpu.cache.striped import StripedFeatureCache
 from legion_tpu.config import Config
 from legion_tpu.sampling.sampler import DeviceGraph, sample_batch
-from legion_tpu.train.loop import lp_logsigmoid_loss, masked_softmax_ce
+from legion_tpu.train.loop import (lp_logsigmoid_loss, lp_logsigmoid_sum,
+                                   masked_softmax_ce)
 from legion_tpu.train.train_state import TrainState
 
 MESH_AXES = ("data", "cache")
@@ -76,6 +77,13 @@ class StripedCachedTrainer:
         # build()).
         self._rep = NamedSharding(mesh, P())
         self.graph = jax.device_put(graph, self._rep)
+        # fail at construction, not mid-epoch: unlike the single-chip
+        # CachedTrainer (which falls back to cache.stage),
+        # StripedFeatureCache has no host-side stage to fall back to
+        assert host_stage is not None, (
+            "StripedCachedTrainer needs host_stage (the host-RAM miss "
+            "stager, e.g. FeatureCache.stage) — StripedFeatureCache "
+            "has no fallback")
         self.host_stage = host_stage
         self.is_lp = cfg.model.arch == "lp_sage"
         fanouts = tuple(cfg.sampler.fanouts)
@@ -165,7 +173,9 @@ class StripedCachedTrainer:
             out = out[: batch.seed_cap]
             mask = batch.seed_mask()
             if self.is_lp:
-                a, b = lp_logsigmoid_loss(out, mask), jnp.sum(mask)
+                # (loss SUM, valid-pair count): a/b after the psum is
+                # the pair-weighted mean across shards AND steps
+                a, b = lp_logsigmoid_sum(out, mask)
             else:
                 pred = jnp.argmax(out, axis=-1)
                 a, b = jnp.sum((pred == batch.labels) & mask), jnp.sum(mask)
@@ -311,7 +321,8 @@ class StripedCachedTrainer:
             b = b.astype(jnp.float32)
             a_acc = a if a_acc is None else a_acc + a
             b_acc = b if b_acc is None else b_acc + b
+        # LP (pair-loss sum / pair count) and accuracy (correct / seen)
+        # aggregate identically — a/b weights every batch by its real
+        # contents (partial finals, exhausted shards included)
         a_sum = float(jax.device_get(a_acc))
-        if self.is_lp:
-            return a_sum / max(steps * max(n, 1), 1)
         return a_sum / max(float(jax.device_get(b_acc)), 1.0)

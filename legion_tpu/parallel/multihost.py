@@ -25,7 +25,8 @@ from legion_tpu.parallel.halo import (
     partitioned_sample_hop, partitioned_sample_hop_exact)
 from legion_tpu.sampling.block import SampledBatch
 from legion_tpu.sampling.sampler import grow_frontier
-from legion_tpu.train.loop import lp_logsigmoid_loss, masked_softmax_ce
+from legion_tpu.train.loop import (lp_logsigmoid_loss, lp_logsigmoid_sum,
+                                   masked_softmax_ce)
 from legion_tpu.train.train_state import TrainState
 
 AXIS = "data"
@@ -138,10 +139,11 @@ def _partitioned_step_fns(cfg: Config, model, caps, dist_caps=None):
         out = out[: batch.seed_cap]
         mask = batch.seed_mask()
         if is_lp:
-            # (mean LP loss, 1) per shard-step: the driver's c/n then
-            # averages over shards x steps (see train.loop.eval_step —
-            # dividing by sum(mask) would report ~loss/batch).
-            a, b = lp_logsigmoid_loss(out, mask), jnp.ones((), jnp.int32)
+            # (LP loss SUM, valid-pair count): the driver's c/n is then
+            # the pair-weighted mean over shards x steps (see
+            # train.loop.eval_step — dividing by sum(mask), the seed
+            # count, would report ~loss/batch).
+            a, b = lp_logsigmoid_sum(out, mask)
         else:
             pred = jnp.argmax(out, axis=-1)
             a, b = jnp.sum((pred == batch.labels) & mask), jnp.sum(mask)

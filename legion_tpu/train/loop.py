@@ -64,9 +64,13 @@ def masked_softmax_ce(logits: jnp.ndarray, labels: jnp.ndarray,
     return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
-def lp_logsigmoid_loss(emb: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Link-prediction loss: batch thirds are (anchor, pos, neg);
-    -logsigmoid(a.p) - logsigmoid(-(a.n)), mean (lp_sage.py:86-91)."""
+def lp_logsigmoid_sum(emb: jnp.ndarray, mask: jnp.ndarray):
+    """Link-prediction loss SUM and valid-pair count: batch thirds are
+    (anchor, pos, neg); per pair -logsigmoid(a.p) - logsigmoid(-(a.n))
+    (lp_sage.py:86-91). The (sum, pairs) form is what eval accumulates
+    — summing per-batch MEANS and dividing by the step count weights a
+    partial final batch (or an exhausted shard contributing 0 pairs)
+    the same as a full one, biasing the reported LP loss toward 0."""
     emb = emb.astype(jnp.float32)   # reduce in f32 even for bf16 models
     third = emb.shape[0] // 3
     a, p, n = emb[:third], emb[third:2 * third], emb[2 * third:3 * third]
@@ -74,8 +78,14 @@ def lp_logsigmoid_loss(emb: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
          ).astype(jnp.float32)
     pos = jax.nn.log_sigmoid(jnp.sum(a * p, -1))
     neg = jax.nn.log_sigmoid(-jnp.sum(a * n, -1))
-    denom = jnp.maximum(jnp.sum(m), 1.0)
-    return -(jnp.sum(pos * m) + jnp.sum(neg * m)) / denom
+    return (-(jnp.sum(pos * m) + jnp.sum(neg * m)),
+            jnp.sum(m).astype(jnp.int32))
+
+
+def lp_logsigmoid_loss(emb: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Mean-per-pair LP loss (the train objective, lp_sage.py:86-91)."""
+    s, pairs = lp_logsigmoid_sum(emb, mask)
+    return s / jnp.maximum(pairs.astype(jnp.float32), 1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -192,11 +202,13 @@ def make_step_fns(cfg: Config, model, caps,
         out = out[: batch.seed_cap]
         mask = batch.seed_mask()
         if is_lp:
-            # (per-step mean LP loss, 1): eval_scan's a/b then averages
-            # over steps (and shards, via the psum below). Dividing by
-            # sum(mask) — the accuracy path's denominator — would report
-            # ~loss/batch_size (caught by tests/test_lp_trainers.py).
-            a, b = lp_logsigmoid_loss(out, mask), jnp.ones((), jnp.int32)
+            # (LP loss SUM, valid-pair count): eval_scan's a/b is then
+            # the pair-weighted mean — partial final batches and
+            # exhausted shards weigh by their real pair counts. (The
+            # accuracy path's sum(mask) denominator — seeds, not pairs
+            # — would report ~loss/batch_size; caught by
+            # tests/test_lp_trainers.py.)
+            a, b = lp_logsigmoid_sum(out, mask)
         else:
             pred = jnp.argmax(out, axis=-1)
             a, b = jnp.sum((pred == batch.labels) & mask), jnp.sum(mask)

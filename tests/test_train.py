@@ -171,3 +171,37 @@ def test_sage_accuracy_regression_bound(small_graph):
     val, test = tr.evaluate("valid"), tr.evaluate("test")
     assert val >= 0.55, f"val acc regression: {val} < 0.55 (was 0.6825)"
     assert test >= 0.55, f"test acc regression: {test} < 0.55 (was 0.675)"
+
+
+def test_lp_eval_is_pair_weighted():
+    """Eval aggregates LP loss as (pair-loss sum / pair count) across
+    batches (r5 review finding): averaging per-batch MEANS over the step
+    count weights a 1-pair final batch like a full one — and an empty
+    batch (0 pairs, loss 0) would drag the reported loss toward 0."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from legion_tpu.train.loop import lp_logsigmoid_loss, lp_logsigmoid_sum
+
+    rng = np.random.default_rng(0)
+    emb_full = jnp.asarray(rng.normal(size=(12, 8)).astype(np.float32))
+    emb_part = jnp.asarray(rng.normal(size=(12, 8)).astype(np.float32))
+    m_full = jnp.ones((12,), bool)
+    m_part = jnp.asarray([True] + [False] * 3 + [True] + [False] * 3
+                         + [True] + [False] * 3)          # 1 valid pair
+
+    s1, c1 = lp_logsigmoid_sum(emb_full, m_full)
+    s2, c2 = lp_logsigmoid_sum(emb_part, m_part)
+    assert int(c1) == 4 and int(c2) == 1
+    # mean = sum / pairs (the train objective stays per-pair mean)
+    np.testing.assert_allclose(float(lp_logsigmoid_loss(emb_full, m_full)),
+                               float(s1) / 4, rtol=1e-6)
+    agg = (float(s1) + float(s2)) / (int(c1) + int(c2))
+    per_step = (float(s1) / 4 + float(s2) / 1) / 2
+    # the two summaries genuinely differ on uneven batches; eval reports
+    # the pair-weighted one
+    assert not np.isclose(agg, per_step)
+    # an empty batch contributes (0, 0) — a no-op in the aggregate
+    s0, c0 = lp_logsigmoid_sum(emb_full, jnp.zeros((12,), bool))
+    assert float(s0) == 0.0 and int(c0) == 0
